@@ -1,0 +1,1 @@
+from . import conv  # noqa: F401

@@ -1,0 +1,173 @@
+"""Exact negacyclic convolution engines (the FFTW replacement).
+
+The reference multiplies polynomials mod x^N+1 with a float64 tangent FFT
+(reference: src/polynomials.jl:44-144) whose rounding recovers the exact
+integer convolution provided the small operand stays below ~11 bits
+(src/polynomials.jl:135-141). Torus arithmetic is mod 2^32, so *any* exact
+convolution mod 2^32 reproduces the reference bit-for-bit (SURVEY.md section 2,
+bit-exactness contract item 2). On TPU we therefore skip floating transforms
+entirely and compute the convolution as integer matrix products:
+
+* int32 two's-complement wraparound IS arithmetic mod 2^32, and
+* the MXU natively contracts int8 x int8 -> int32, so splitting the torus
+  operand into four balanced signed 8-bit limbs turns a negacyclic convolution
+  into int8 matmuls against a negacyclic Toeplitz matrix, recombined with
+  shifts mod 2^32. Partial sums are bounded by 2^7 * 2^7 * N <= 2^24 << 2^31,
+  so every step is exact.
+
+Two orientations, chosen by which operand is shared across the batch:
+
+* `poly_mul_batched_small`: Toeplitz of the *torus* operand (e.g. the
+  bootstrap-key step, shared by every ciphertext in the batch); the batched
+  small operand (decomposition digits) rides the matmul M dimension. This is
+  the blind-rotate hot path.
+* `poly_mul_batched_torus`: Toeplitz of the *small* operand (e.g. the binary
+  secret key, shared by every encryption); the batched torus operand is limb
+  split. This is the keygen hot path.
+* `negacyclic_mul`: plain pairwise int32 einsum for low-volume paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+from jax import lax
+
+_I32 = jnp.int32
+_I8 = jnp.int8
+
+
+@functools.lru_cache(maxsize=None)
+def _doubled_toeplitz_index(n: int):
+    """Static [N(m), N(r)] gather index (r - m) mod 2N into the doubled array
+    t2 = [t, -t], which encodes the negacyclic sign structure:
+    T[m, r] = t2[(r - m) mod 2N] = sign(r, m) * t[(r - m) mod N].
+    Then (d conv t)[r] = sum_m d[m] * T[m, r]  (exactly, mod 2^32).
+
+    The negation lives in int32 (where -(-2^31) wraps correctly mod 2^32)
+    BEFORE any limb split — negating int8 limbs would overflow at -128.
+    """
+    import numpy as np
+
+    r = np.arange(n)[None, :]
+    m = np.arange(n)[:, None]
+    return jnp.asarray((r - m) % (2 * n), jnp.int32)
+
+
+def negacyclic_toeplitz(t):
+    """t: [..., N] int32 -> Toeplitz [..., N(m), N(r)], T[m, r] = +-t[(r-m)%N]."""
+    n = t.shape[-1]
+    doubled = jnp.concatenate([t, -t], axis=-1)
+    return jnp.take(doubled, _doubled_toeplitz_index(n), axis=-1)
+
+
+def split_torus_limbs(x):
+    """int32 [...] -> 4 balanced signed int8 limbs, x == sum_j limb_j * 2^(8j) (mod 2^32).
+
+    astype(int8) wraps mod 256 into [-128, 128), giving the balanced low byte;
+    subtracting it leaves an exact multiple of 256 for the arithmetic shift.
+    """
+    limbs = []
+    cur = x
+    for _ in range(3):
+        b = cur.astype(_I8)
+        limbs.append(b)
+        cur = (cur - b.astype(_I32)) >> 8
+    limbs.append(cur.astype(_I8))  # top limb only matters mod 2^8
+    return jnp.stack(limbs)  # [4, ...]
+
+
+def split_small_limbs(d, bound_bits: int):
+    """Split small signed ints |d| <= 2^bound_bits into int8 limbs.
+
+    Returns (limbs [S, ...] int8, shifts tuple of S ints). Decomposition
+    digits lie in [-B/2, B/2]; for log2_base <= 7 a single limb suffices
+    (128-bit preset, B=2^7). For larger bases (80-bit preset, B=2^10) we
+    split base-16: d = hi*16 + lo with lo in [-8, 8), |hi| <= (2^bound+8)/16.
+    """
+    if bound_bits <= 7:
+        return d.astype(_I8)[None], (0,)
+    lo = ((d & 15) ^ 8) - 8
+    hi = (d - lo) >> 4
+    assert bound_bits <= 11, "small operand too large for two int8 limbs"
+    return jnp.stack([lo.astype(_I8), hi.astype(_I8)]), (0, 4)
+
+
+def _i8_matmul(a, b):
+    """Exact int8 x int8 -> int32 contraction (MXU-native on TPU)."""
+    return lax.dot_general(
+        a, b, (((a.ndim - 1,), (0,)), ((), ())), preferred_element_type=_I32
+    )
+
+
+def poly_mul_batched_small(digits, t_shared, small_bound_bits: int):
+    """out[b, k] = sum_p negacyclic_conv(digits[b, p], t_shared[p, k]), mod 2^32.
+
+    digits:   [B, P, N] int32, |digits| <= 2^small_bound_bits (batched, varies)
+    t_shared: [P, K, N] int32 torus polynomials (shared across batch)
+    returns   [B, K, N] int32
+
+    The torus side becomes a limb Toeplitz [P*N, K*4*N] int8 built once and
+    shared by the whole batch; the digits ride the matmul M dimension. This is
+    the external-product hot kernel (reference: src/tgsw.jl:125-129).
+    """
+    B, P, n = digits.shape
+    _, K, _ = t_shared.shape
+    # Double-and-negate in int32 (exact mod 2^32), THEN limb split, THEN the
+    # Toeplitz gather — negating int8 limbs directly would overflow at -128.
+    doubled = jnp.concatenate([t_shared, -t_shared], axis=-1)  # [P, K, 2N]
+    t_limbs = split_torus_limbs(doubled)  # [4, P, K, 2N] int8
+    toep = jnp.take(t_limbs, _doubled_toeplitz_index(n), axis=-1)  # [4, P, K, N(m), N(r)]
+    toep = toep.transpose(1, 3, 2, 0, 4).reshape(P * n, K * 4 * n)
+
+    d_limbs, d_shifts = split_small_limbs(digits, small_bound_bits)  # [S, B, P, N]
+    S = d_limbs.shape[0]
+    prods = _i8_matmul(d_limbs.reshape(S * B, P * n), toep)  # [S*B, K*4*N] int32
+    prods = prods.reshape(S, B, K, 4, n)
+
+    out = jnp.zeros((B, K, n), _I32)
+    for s in range(S):
+        for j in range(4):
+            shift = d_shifts[s] + 8 * j
+            if shift < 32:
+                out = out + (prods[s, :, :, j, :] << shift)
+    return out
+
+
+def poly_mul_batched_torus(a_batch, s_shared):
+    """out[b] = sum_p negacyclic_conv(s_shared[p], a_batch[b, p]), mod 2^32.
+
+    a_batch:  [B, P, N] int32 torus polynomials (batched, varies)
+    s_shared: [P, N] small ints fitting int8 (e.g. binary key; shared)
+    returns   [B, N] int32
+
+    Toeplitz of the small shared operand; the batched torus side is limb
+    split. This is the keygen hot path (reference: src/tlwe.jl:63-73 summing
+    transformed_mul(key, a)).
+    """
+    B, P, n = a_batch.shape
+    # Sign handling in int32 via negacyclic_toeplitz, then narrow to int8
+    # (safe: |s| <= 127 by contract, so +-s fits int8).
+    toep = negacyclic_toeplitz(s_shared.astype(_I32)).astype(_I8)  # [P, N(m), N(r)]
+    toep = toep.reshape(P * n, n)
+    a_limbs = split_torus_limbs(a_batch)  # [4, B, P, N]
+    prods = _i8_matmul(a_limbs.reshape(4 * B, P * n), toep)  # [4*B, N]
+    prods = prods.reshape(4, B, n)
+    out = jnp.zeros((B, n), _I32)
+    for j in range(4):
+        out = out + (prods[j] << (8 * j))
+    return out
+
+
+def negacyclic_mul(x_small, y_torus):
+    """Pairwise exact negacyclic product, broadcasting leading dims.
+
+    x_small: [..., N] int32 (the small operand), y_torus: [..., N] int32.
+    Materialises the Toeplitz of y ([..., N, N] int32), so reserve this for
+    low-volume paths (parameter-sized key ceremonies, unit tests).
+    """
+    toep = negacyclic_toeplitz(y_torus)  # [..., N(m), N(r)]
+    return jnp.einsum(
+        "...m,...mr->...r", x_small, toep, preferred_element_type=_I32
+    ).astype(_I32)
