@@ -7,7 +7,9 @@ driver validates `dryrun_multichip`. Must be set before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the harness pre-sets JAX_PLATFORMS=axon (a tunneled TPU chip with
+# per-dispatch network latency); unit tests must run on the local host platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

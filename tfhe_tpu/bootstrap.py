@@ -1,0 +1,147 @@
+"""Gate bootstrapping: modulus switch -> blind rotate -> extract -> keyswitch.
+
+TPU-native counterpart of the reference's bootstrap layer
+(reference: src/bootstrap.jl:1-95). The reference's sequential CMUX loop with
+data-dependent skips (src/bootstrap.jl:32-39) becomes a `lax.scan` over the n
+LWE key bits with a BRANCHLESS batched CMUX body: when bara_i == 0 the rotated
+accumulator equals the accumulator, the difference decomposes to all-zero
+digits, and the external product contributes exactly zero (SURVEY.md
+section 2 item 3) — identical results, no divergence. All throughput comes
+from the ciphertext batch dimension riding the MXU contraction
+(SURVEY.md section 3.3: the i-loop is inherently sequential).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from . import polynomial
+from .keyswitch import KeyswitchKey, keyswitch
+from .lwe import LweSample
+from .numeric import decode_message
+from .tgsw import prepare_tgsw, tgsw_encrypt, tgsw_extern_mul_prepared
+from .tlwe import (
+    TLweSample,
+    tlwe_extract_sample,
+    tlwe_mul_by_monomial,
+    tlwe_noiseless_trivial,
+)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["limbs"],
+    meta_fields=["decomp_length", "log2_base", "polynomial_degree", "mask_size"],
+)
+@dataclasses.dataclass(frozen=True)
+class BootstrapKey:
+    """Per-LWE-key-bit TGSW encryptions, stored prepared for the MXU.
+
+    limbs: int8[n, 4, (k+1)*l, k+1, 2N] — each key bit's TGSW sample in the
+    limb-doubled layout of ops/conv.py (the analogue of the reference storing
+    its key pre-FFT'd, src/bootstrap.jl:1-16).
+    """
+
+    limbs: jax.Array
+    decomp_length: int
+    log2_base: int
+    polynomial_degree: int
+    mask_size: int
+
+    @property
+    def n(self) -> int:
+        return self.limbs.shape[0]
+
+
+def bootstrap_key_gen(rng, alpha: float, lwe_key, tlwe_key,
+                      decomp_length: int, log2_base: int) -> BootstrapKey:
+    """TGSW-encrypt each bit of the LWE key under the TLWE key.
+
+    Reference: src/bootstrap.jl:6-15.
+    """
+    n = lwe_key.shape[0]
+    gsw = tgsw_encrypt(
+        rng, lwe_key, alpha, tlwe_key, decomp_length, log2_base, batch_shape=(n,)
+    )  # [n, l, k+1, k+1, N]
+    return BootstrapKey(
+        prepare_tgsw(gsw, decomp_length, log2_base),
+        decomp_length, log2_base,
+        tlwe_key.shape[1], tlwe_key.shape[0],
+    )
+
+
+def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int) -> BootstrapKey:
+    """Build a key from raw coefficient-domain TGSW samples
+    (gsw: int32[n, l, k+1, k+1, N]) — used by oracle-equivalence tests."""
+    return BootstrapKey(
+        prepare_tgsw(gsw, decomp_length, log2_base),
+        decomp_length, log2_base, gsw.shape[-1], gsw.shape[-2] - 1,
+    )
+
+
+def mux_rotate(accum: TLweSample, bki_limbs, barai,
+               decomp_length: int, log2_base: int) -> TLweSample:
+    """accum += BK_i (x) [(X^bara_i - 1) * accum] — the CMUX.
+
+    accum: [B, k+1, N]; barai: int32[B]. Reference: src/bootstrap.jl:19-23.
+    """
+    temp = tlwe_mul_by_monomial(accum, barai) - accum
+    delta = tgsw_extern_mul_prepared(temp, bki_limbs, decomp_length, log2_base)
+    return TLweSample(accum.a + delta.a, accum.cv)
+
+
+def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
+    """Multiply the accumulator by X^{sum_i bara_i * s_i} via n CMUX steps.
+
+    accum: [B, k+1, N]; bara: int32[B, n] in [0, 2N).
+    Reference: src/bootstrap.jl:32-39 (the `bara_i != 0` skip is subsumed by
+    the branchless no-op identity).
+    """
+    l, b = bk.decomp_length, bk.log2_base
+
+    def step(acc_a, xs):
+        limbs_i, bara_i = xs
+        acc = TLweSample(acc_a, jnp.zeros(acc_a.shape[0], jnp.float32))
+        return mux_rotate(acc, limbs_i, bara_i, l, b).a, None
+
+    bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)  # [n, B]
+    out_a, _ = jax.lax.scan(step, accum.a, (bk.limbs, bara_t))
+    return TLweSample(out_a, accum.cv)
+
+
+def blind_rotate_and_extract(v, bk: BootstrapKey, barb, bara) -> LweSample:
+    """result = LWE(v_p) where p = barb - sum(bara_i s_i) mod 2N.
+
+    v: int32[B, N] test polynomial; barb: int32[B]; bara: int32[B, n].
+    Reference: src/bootstrap.jl:50-59.
+    """
+    testvectbis = polynomial.mul_by_monomial(v, -jnp.asarray(barb, jnp.int32))
+    accum = tlwe_noiseless_trivial(testvectbis, bk.mask_size)
+    accum = blind_rotate(accum, bk, bara)
+    return tlwe_extract_sample(accum)
+
+
+def bootstrap_wo_keyswitch(bk: BootstrapKey, mu, x: LweSample) -> LweSample:
+    """LWE(mu) iff phase(x) > 0 else LWE(-mu), in the extracted (N*k)-dim space.
+
+    x: batch [B, n]. Reference: src/bootstrap.jl:69-82.
+    """
+    p_degree = bk.polynomial_degree
+    bara = decode_message(x.a, p_degree * 2)  # [B, n], modulus switch to 2N
+    barb = decode_message(x.b, p_degree * 2)  # [B]
+    testvect = jnp.broadcast_to(
+        jnp.asarray(mu, jnp.int32), x.b.shape + (p_degree,)
+    )
+    return blind_rotate_and_extract(testvect, bk, barb, bara)
+
+
+def bootstrap(bk: BootstrapKey, ks: KeyswitchKey, mu, x: LweSample) -> LweSample:
+    """Full gate bootstrap: refresh noise and return to the n-dim LWE space.
+
+    Reference: src/bootstrap.jl:92-95.
+    """
+    return keyswitch(ks, bootstrap_wo_keyswitch(bk, mu, x))

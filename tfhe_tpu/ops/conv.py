@@ -101,24 +101,36 @@ def _i8_matmul(a, b):
     )
 
 
-def poly_mul_batched_small(digits, t_shared, small_bound_bits: int):
-    """out[b, k] = sum_p negacyclic_conv(digits[b, p], t_shared[p, k]), mod 2^32.
+def prepare_shared_torus(t_shared):
+    """Precompute the limb-doubled form of shared torus operands.
 
-    digits:   [B, P, N] int32, |digits| <= 2^small_bound_bits (batched, varies)
-    t_shared: [P, K, N] int32 torus polynomials (shared across batch)
-    returns   [B, K, N] int32
+    t_shared: [..., P, K, N] int32 -> [..., 4, P, K, 2N] int8, the static
+    per-key representation consumed by `poly_mul_prepared` (built once at
+    keygen, analogous to the reference storing its bootstrap key
+    pre-transformed, src/bootstrap.jl:12). Double-and-negate happens in int32
+    (exact mod 2^32) BEFORE the limb split — negating int8 limbs would
+    overflow at -128.
+    """
+    doubled = jnp.concatenate([t_shared, -t_shared], axis=-1)  # [..., P, K, 2N]
+    limbs = split_torus_limbs(doubled)  # [4, ..., P, K, 2N] int8
+    return jnp.moveaxis(limbs, 0, -4)  # [..., 4, P, K, 2N]
 
-    The torus side becomes a limb Toeplitz [P*N, K*4*N] int8 built once and
-    shared by the whole batch; the digits ride the matmul M dimension. This is
-    the external-product hot kernel (reference: src/tgsw.jl:125-129).
+
+def poly_mul_prepared(digits, t_limbs_doubled, small_bound_bits: int):
+    """out[b, k] = sum_p negacyclic_conv(digits[b, p], t[p, k]), mod 2^32.
+
+    digits:          [B, P, N] int32, |digits| <= 2^small_bound_bits
+    t_limbs_doubled: [4, P, K, 2N] int8 from `prepare_shared_torus`
+    returns          [B, K, N] int32
+
+    The torus side becomes a limb Toeplitz [P*N, K*4*N] int8 shared by the
+    whole batch; the digits ride the matmul M dimension. This is the
+    external-product hot kernel (reference: src/tgsw.jl:125-129).
     """
     B, P, n = digits.shape
-    _, K, _ = t_shared.shape
-    # Double-and-negate in int32 (exact mod 2^32), THEN limb split, THEN the
-    # Toeplitz gather — negating int8 limbs directly would overflow at -128.
-    doubled = jnp.concatenate([t_shared, -t_shared], axis=-1)  # [P, K, 2N]
-    t_limbs = split_torus_limbs(doubled)  # [4, P, K, 2N] int8
-    toep = jnp.take(t_limbs, _doubled_toeplitz_index(n), axis=-1)  # [4, P, K, N(m), N(r)]
+    K = t_limbs_doubled.shape[-2]
+    toep = jnp.take(t_limbs_doubled, _doubled_toeplitz_index(n), axis=-1)
+    # [4, P, K, N(m), N(r)] -> [P*N(m), K*4*N(r)]
     toep = toep.transpose(1, 3, 2, 0, 4).reshape(P * n, K * 4 * n)
 
     d_limbs, d_shifts = split_small_limbs(digits, small_bound_bits)  # [S, B, P, N]
@@ -133,6 +145,17 @@ def poly_mul_batched_small(digits, t_shared, small_bound_bits: int):
             if shift < 32:
                 out = out + (prods[s, :, :, j, :] << shift)
     return out
+
+
+def poly_mul_batched_small(digits, t_shared, small_bound_bits: int):
+    """One-shot form of `poly_mul_prepared` (limb prep inlined).
+
+    digits:   [B, P, N] int32 (batched, varies); t_shared: [P, K, N] int32
+    (shared across batch); returns [B, K, N] int32.
+    """
+    return poly_mul_prepared(
+        digits, prepare_shared_torus(t_shared), small_bound_bits
+    )
 
 
 def poly_mul_batched_torus(a_batch, s_shared):
