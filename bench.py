@@ -1,0 +1,96 @@
+"""Benchmark: batched bootstrapped-NAND throughput (128-bit params, 1 chip).
+
+Prints ONE JSON line:
+  {"metric": "nand_bootstraps_per_sec_128bit", "value": N, "unit": "gates/s",
+   "vs_baseline": N / 1e4}
+
+vs_baseline is measured against the BASELINE.json north star of 1e4 bit-exact
+gate bootstraps/sec/chip (the reference library publishes no numbers of its
+own and disclaims performance, BASELINE.md). Uses REAL keys (jitted keygen)
+and checks decrypt-level correctness of the final batch on stderr.
+
+Env knobs: TFHE_TPU_BENCH_BATCH (default 4096 on TPU, 8 on CPU),
+TFHE_TPU_BENCH_ITERS (default 4), TFHE_TPU_BENCH_PARAMS (128|80|toy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import tfhe_tpu as tt
+    from tfhe_tpu import gates
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "4096" if on_tpu else "8"))
+    iters = int(os.environ.get("TFHE_TPU_BENCH_ITERS", "4"))
+    which = os.environ.get("TFHE_TPU_BENCH_PARAMS", "128")
+    params = {
+        "128": tt.tfhe_parameters_128,
+        "80": tt.tfhe_parameters_80,
+        "toy": tt.tfhe_parameters_toy,
+    }[which]()
+    log(f"bench: backend={backend} batch={batch} iters={iters} params={which}")
+
+    t0 = time.time()
+    sk, ck = jax.jit(tt.make_key_pair, static_argnums=1)(
+        jax.random.PRNGKey(123), params
+    )
+    jax.block_until_ready(ck.bootstrap_key.limbs)
+    log(f"keygen: {time.time() - t0:.1f}s")
+
+    bits_x = jnp.arange(batch) % 2 == 0
+    bits_y = jnp.arange(batch) % 3 == 0
+    ct_x = tt.encrypt(jax.random.PRNGKey(1), sk, bits_x)
+    ct_y = tt.encrypt(jax.random.PRNGKey(2), sk, bits_y)
+
+    nand = jax.jit(gates.gate_nand)
+    t0 = time.time()
+    out = nand(ck, ct_x, ct_y)
+    jax.block_until_ready(out)
+    log(f"first call (compile + run): {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = nand(ck, out, ct_y)  # chain to defeat caching
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    throughput = batch * iters / dt
+    log(f"{iters} iters x {batch} gates in {dt:.3f}s -> {throughput:.0f} gates/s")
+
+    # Correctness spot check (decrypt level): NAND(NAND(x,y), y) chain
+    import numpy as np
+
+    px = np.asarray(bits_x)
+    py = np.asarray(bits_y)
+    want = ~(px & py)  # the timed loop started from NAND(x, y)
+    for _ in range(iters):
+        want = ~(want & py)
+    got = np.asarray(tt.decrypt(sk, out))
+    n_bad = int((got != want).sum())
+    log(f"correctness: {batch - n_bad}/{batch} decrypt correctly")
+    if n_bad:
+        log("WARNING: decryption errors present")
+
+    print(json.dumps({
+        "metric": "nand_bootstraps_per_sec_128bit",
+        "value": round(throughput, 1),
+        "unit": "gates/s",
+        "vs_baseline": round(throughput / 1e4, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

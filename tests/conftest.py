@@ -8,13 +8,19 @@ driver validates `dryrun_multichip`. Must be set before jax imports.
 import os
 
 # Force CPU: the harness pre-sets JAX_PLATFORMS=axon (a tunneled TPU chip with
-# per-dispatch network latency); unit tests must run on the local host platform.
+# per-dispatch network latency) and a sitecustomize that imports jax at
+# interpreter startup — so the env var alone is too late; the config must be
+# updated explicitly before any backend is initialized.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,73 @@
+"""SPMD scale-out tests on the virtual 8-device CPU mesh.
+
+Validates that the sharded batched bootstrap (DP blind rotate + all_gather
+regroup + table-row-TP keyswitch with psum) is BIT-IDENTICAL to the
+single-device path — int32 wraparound addition makes the psum reordering
+exact — and that gates still decrypt correctly under sharding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tfhe_tpu as tt
+from tfhe_tpu import gates
+from tfhe_tpu import parallel
+
+
+@pytest.fixture(scope="module")
+def toy_keys():
+    params = tt.tfhe_parameters_toy()
+    rng = jax.random.PRNGKey(123)
+    sk, ck = tt.make_key_pair(rng, params)
+    return params, sk, ck
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("data,model", [(4, 2), (8, 1), (2, 4)])
+def test_sharded_nand_bit_identical(toy_keys, data, model):
+    params, sk, ck = toy_keys
+    mesh = parallel.make_mesh(data, model)
+    B = 16
+    bits_x = jnp.arange(B) % 2 == 0
+    bits_y = jnp.arange(B) % 3 == 0
+    ct_x = tt.encrypt(jax.random.PRNGKey(1), sk, bits_x)
+    ct_y = tt.encrypt(jax.random.PRNGKey(2), sk, bits_y)
+
+    want = gates.gate_nand(ck, ct_x, ct_y)
+
+    ck_sharded = parallel.shard_cloud_key(ck, mesh)
+    nand = parallel.make_gate_nand_sharded(mesh, params)
+    got = nand(
+        ck_sharded,
+        parallel.shard_batch(ct_x, mesh),
+        parallel.shard_batch(ct_y, mesh),
+    )
+
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+
+    out = tt.decrypt(sk, got)
+    np.testing.assert_array_equal(
+        np.asarray(out), ~(np.asarray(bits_x) & np.asarray(bits_y))
+    )
+
+
+def test_sharded_nand_jit(toy_keys):
+    """The sharded gate compiles under jit with the key as pytree arg."""
+    params, sk, ck = toy_keys
+    mesh = parallel.make_mesh(4, 2)
+    nand = jax.jit(parallel.make_gate_nand_sharded(mesh, params))
+    B = 8
+    bits = jnp.arange(B) % 2 == 0
+    ct_x = tt.encrypt(jax.random.PRNGKey(3), sk, bits)
+    ct_y = tt.encrypt(jax.random.PRNGKey(4), sk, ~bits)
+    got = nand(parallel.shard_cloud_key(ck, mesh),
+               parallel.shard_batch(ct_x, mesh),
+               parallel.shard_batch(ct_y, mesh))
+    out = tt.decrypt(sk, got)
+    np.testing.assert_array_equal(np.asarray(out), np.ones(B, bool))

@@ -47,12 +47,16 @@ def _doubled_toeplitz_index(n: int):
 
     The negation lives in int32 (where -(-2^31) wraps correctly mod 2^32)
     BEFORE any limb split — negating int8 limbs would overflow at -128.
+
+    Returns a NumPy constant (NOT a jnp array): this function is lru_cached
+    and may first be called inside a jit trace — caching a traced array
+    would leak the tracer into later traces.
     """
     import numpy as np
 
     r = np.arange(n)[None, :]
     m = np.arange(n)[:, None]
-    return jnp.asarray((r - m) % (2 * n), jnp.int32)
+    return np.asarray((r - m) % (2 * n), np.int32)
 
 
 def negacyclic_toeplitz(t):

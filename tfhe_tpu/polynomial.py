@@ -16,9 +16,13 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=None)
 def _monomial_gather_base(n: int):
-    """Static [2N] table: doubled index r -> (coeff index, sign) encoded as
-    signed index into the doubled array [p, -p]."""
-    return jnp.arange(n, dtype=jnp.int32)
+    """Static [N] iota used to build monomial-rotation gather indices.
+
+    NumPy constant (NOT jnp): lru_cached values must never be traced arrays,
+    or a tracer from one jit scope would leak into later traces."""
+    import numpy as np
+
+    return np.arange(n, dtype=np.int32)
 
 
 def mul_by_monomial(p, shift):
