@@ -48,7 +48,7 @@ def main():
     sk, ck = jax.jit(tt.make_key_pair, static_argnums=1)(
         jax.random.PRNGKey(123), params
     )
-    jax.block_until_ready(ck.bootstrap_key.limbs)
+    jax.block_until_ready(ck.bootstrap_key.baked)
     log(f"keygen: {time.time() - t0:.1f}s")
 
     bits_x = jnp.arange(batch) % 2 == 0

@@ -32,34 +32,54 @@ from .tlwe import (
 )
 
 
+def _default_block(poly_degree: int) -> int:
+    """Toeplitz block size T: lane-aligned when possible, M = N/T >= 2.
+
+    T=64 for production N=1024: the baked key is n*2N*P*K4*T bytes (linear in
+    T — 4.0 GB at T=64 for the 128-bit preset vs 7.9 GB at T=128), and a
+    384-wide contraction still tiles the MXU well.
+    """
+    for t in (64, 32, 16, 8, 4, 2, 1):
+        if poly_degree % t == 0 and poly_degree // t >= 2:
+            return t
+    return 1
+
+
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["limbs"],
-    meta_fields=["decomp_length", "log2_base", "polynomial_degree", "mask_size"],
+    data_fields=["baked"],
+    meta_fields=[
+        "decomp_length", "log2_base", "polynomial_degree", "mask_size", "block",
+    ],
 )
 @dataclasses.dataclass(frozen=True)
 class BootstrapKey:
-    """Per-LWE-key-bit TGSW encryptions, stored prepared for the MXU.
+    """Per-LWE-key-bit TGSW encryptions, baked into block-Toeplitz MXU form.
 
-    limbs: int8[n, 4, (k+1)*l, k+1, 2N] — each key bit's TGSW sample in the
-    limb-doubled layout of ops/conv.py (the analogue of the reference storing
-    its key pre-FFT'd, src/bootstrap.jl:1-16).
+    baked: int8[n, 2M, P*T, (k+1)*4*T] with P = (k+1)*l, M = N/T — each key
+    bit's TGSW sample pre-gathered into the blocked negacyclic-Toeplitz limb
+    layout of ops/conv.py:bake_block_toeplitz, so gate-time blind rotation is
+    pure int8 matmuls with zero gathers (the analogue of the reference
+    storing its key pre-FFT'd, src/bootstrap.jl:1-16; 4.0 GB for the 128-bit
+    preset at T=64 vs 62 MB raw — HBM traded for ~100x gather latency).
     """
 
-    limbs: jax.Array
+    baked: jax.Array
     decomp_length: int
     log2_base: int
     polynomial_degree: int
     mask_size: int
+    block: int
 
     @property
     def n(self) -> int:
-        return self.limbs.shape[0]
+        return self.baked.shape[0]
 
 
 def bootstrap_key_gen(rng, alpha: float, lwe_key, tlwe_key,
-                      decomp_length: int, log2_base: int) -> BootstrapKey:
-    """TGSW-encrypt each bit of the LWE key under the TLWE key.
+                      decomp_length: int, log2_base: int,
+                      block: int | None = None) -> BootstrapKey:
+    """TGSW-encrypt each bit of the LWE key under the TLWE key, then bake.
 
     Reference: src/bootstrap.jl:6-15.
     """
@@ -67,27 +87,56 @@ def bootstrap_key_gen(rng, alpha: float, lwe_key, tlwe_key,
     gsw = tgsw_encrypt(
         rng, lwe_key, alpha, tlwe_key, decomp_length, log2_base, batch_shape=(n,)
     )  # [n, l, k+1, k+1, N]
+    return bootstrap_key_from_raw(gsw, decomp_length, log2_base, block)
+
+
+def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int,
+                           block: int | None = None) -> BootstrapKey:
+    """Bake a key from raw coefficient-domain TGSW samples
+    (gsw: int32[n, l, k+1, k+1, N]) — also used by oracle-equivalence tests."""
+    from .ops.conv import bake_block_toeplitz
+
+    poly_degree = gsw.shape[-1]
+    t = _default_block(poly_degree) if block is None else block
+    limbs = prepare_tgsw(gsw, decomp_length, log2_base)  # [n, 4, P, K, 2N]
     return BootstrapKey(
-        prepare_tgsw(gsw, decomp_length, log2_base),
-        decomp_length, log2_base,
-        tlwe_key.shape[1], tlwe_key.shape[0],
+        bake_block_toeplitz(limbs, t),
+        decomp_length, log2_base, poly_degree, gsw.shape[-2] - 1, t,
     )
 
 
-def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int) -> BootstrapKey:
-    """Build a key from raw coefficient-domain TGSW samples
-    (gsw: int32[n, l, k+1, k+1, N]) — used by oracle-equivalence tests."""
-    return BootstrapKey(
-        prepare_tgsw(gsw, decomp_length, log2_base),
-        decomp_length, log2_base, gsw.shape[-1], gsw.shape[-2] - 1,
+def mux_rotate_baked(acc_a, e_i, barai, decomp_length: int, log2_base: int,
+                     block: int):
+    """accum += BK_i (x) [(X^bara_i - 1) * accum] — the CMUX, baked form.
+
+    acc_a: int32[B, k+1, N]; e_i: int8[2M, P*T, K*4*T]; barai: int32[B].
+    Reference: src/bootstrap.jl:19-23. Branchless: barai == 0 makes the
+    rotated accumulator equal the accumulator, so digits and delta are all
+    zero (SURVEY.md section 2 item 3).
+    """
+    from .ops.conv import (
+        block_toeplitz_matmul,
+        recombine_block_prods,
+        split_small_limbs,
     )
+    from .tgsw import decompose
+
+    b_sz, kp1, n = acc_a.shape
+    rot = polynomial.mul_by_monomial(acc_a, barai[:, None])
+    temp = rot - acc_a
+    digits = decompose(temp, decomp_length, log2_base)  # [B, k+1, l, N]
+    digits = digits.reshape(b_sz, kp1 * decomp_length, n)
+    d_limbs, d_shifts = split_small_limbs(digits, log2_base - 1)
+    prods = block_toeplitz_matmul(d_limbs, e_i, block)
+    delta = recombine_block_prods(prods, kp1, d_shifts)
+    return acc_a + delta
 
 
 def mux_rotate(accum: TLweSample, bki_limbs, barai,
                decomp_length: int, log2_base: int) -> TLweSample:
-    """accum += BK_i (x) [(X^bara_i - 1) * accum] — the CMUX.
-
-    accum: [B, k+1, N]; barai: int32[B]. Reference: src/bootstrap.jl:19-23.
+    """CMUX against a prepared (non-baked) TGSW operand — low-volume paths
+    and oracle tests. accum: [B, k+1, N]; barai: int32[B].
+    Reference: src/bootstrap.jl:19-23.
     """
     temp = tlwe_mul_by_monomial(accum, barai) - accum
     delta = tgsw_extern_mul_prepared(temp, bki_limbs, decomp_length, log2_base)
@@ -101,15 +150,14 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
     Reference: src/bootstrap.jl:32-39 (the `bara_i != 0` skip is subsumed by
     the branchless no-op identity).
     """
-    l, b = bk.decomp_length, bk.log2_base
+    l, b, t = bk.decomp_length, bk.log2_base, bk.block
 
     def step(acc_a, xs):
-        limbs_i, bara_i = xs
-        acc = TLweSample(acc_a, jnp.zeros(acc_a.shape[0], jnp.float32))
-        return mux_rotate(acc, limbs_i, bara_i, l, b).a, None
+        e_i, bara_i = xs
+        return mux_rotate_baked(acc_a, e_i, bara_i, l, b, t), None
 
     bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)  # [n, B]
-    out_a, _ = jax.lax.scan(step, accum.a, (bk.limbs, bara_t))
+    out_a, _ = jax.lax.scan(step, accum.a, (bk.baked, bara_t))
     return TLweSample(out_a, accum.cv)
 
 

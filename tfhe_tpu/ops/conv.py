@@ -162,6 +162,114 @@ def poly_mul_batched_small(digits, t_shared, small_bound_bits: int):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _block_toeplitz_index(n: int, t: int):
+    """Static [2M, T, T] index (d*T + w - u) mod 2N into the doubled array,
+    M = N/T. Block (i, o) of the full negacyclic Toeplitz equals baked block
+    d = (o - i) mod 2M, so the N x N Toeplitz never has to be materialized at
+    gate time. NumPy constant (lru_cache must never hold traced arrays)."""
+    import numpy as np
+
+    m2 = 2 * n // t
+    d = np.arange(m2)[:, None, None]
+    u = np.arange(t)[None, :, None]
+    w = np.arange(t)[None, None, :]
+    return ((d * t + w - u) % (2 * n)).astype(np.int32)
+
+
+def bake_block_toeplitz(limbs_doubled, t: int, chunk: int = 16):
+    """Pre-gather the blocked Toeplitz form of prepared torus operands.
+
+    limbs_doubled: [n_steps, 4, P, K, 2N] int8 (prepare_shared_torus output)
+    returns E:     [n_steps, 2M, P*T, K*4*T] int8, rows (p, u), cols (k, limb, w)
+
+    This is the keygen-time replacement for the per-step Toeplitz gather:
+    TPU gathers run ~2 Gelem/s while int8 matmuls run hundreds of TOP/s, so
+    all gathers are baked into the key. Memory: n * 2N * P * K*4 * T bytes
+    (4.0 GB for the 128-bit preset at T=64) — the TPU-resident analogue of
+    the reference's pre-FFT'd bootstrap key (src/bootstrap.jl:12). Baking
+    runs in `chunk`-step pieces via lax.map so the gather/transpose temps
+    stay bounded (~2 * chunk/n of the final size) instead of OOMing HBM.
+    """
+    steps, four, p, k, n2 = limbs_doubled.shape
+    n = n2 // 2
+    assert n % t == 0, (n, t)
+    idx = jnp.asarray(_block_toeplitz_index(n, t).reshape(-1))  # [2M*T*T]
+    m2 = 2 * n // t
+
+    def bake_steps(limbs):  # [c, 4, P, K, 2N] -> [c, 2M, P*T, K*4*T]
+        e = jnp.take(limbs, idx, axis=-1)
+        e = e.reshape(limbs.shape[:-1] + (m2, t, t))
+        e = e.transpose(0, 4, 2, 5, 3, 1, 6)  # [c, 2M, P, T(u), K, 4, T(w)]
+        return e.reshape(limbs.shape[0], m2, p * t, k * 4 * t)
+
+    if steps <= chunk:
+        return bake_steps(limbs_doubled)
+    # lax.map(batch_size=...) pads the leading dim if it doesn't divide; keep
+    # it exact by splitting off the remainder.
+    main = (steps // chunk) * chunk
+    out = lax.map(
+        lambda x: bake_steps(x),
+        limbs_doubled[:main].reshape(steps // chunk, chunk, four, p, k, n2),
+    ).reshape(main, m2, p * t, k * 4 * t)
+    if main < steps:
+        out = jnp.concatenate([out, bake_steps(limbs_doubled[main:])], axis=0)
+    return out
+
+
+def block_toeplitz_matmul(d_limbs, e_step, t: int):
+    """Negacyclic conv against a baked block-Toeplitz operand, exact MAC count.
+
+    d_limbs: [S, B, P, N] int8 digit limbs; e_step: [2M, P*T, K*4*T] int8.
+    Returns [S, B, M, K*4*T] int32 (output block o at row o, cols (k, limb, w)).
+
+    out[o] = sum_i D[i] @ E[(o - i) mod 2M]; per baked block d the valid
+    (i, o) pairs form a contiguous range, so the sum is 2M-1 dense matmuls
+    with zero wasted MACs (sum over all d of valid pairs = M^2).
+    """
+    s, b, p, n = d_limbs.shape
+    m = n // t
+    m2 = 2 * m
+    cols = e_step.shape[-1]
+    dl = (
+        d_limbs.reshape(s, b, p, m, t)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(s * b, m, p * t)
+    )
+    out = jnp.zeros((s * b, m, cols), jnp.int32)
+    for d in range(m2):
+        if d < m:
+            vo = m - d  # o in [d, m), i = o - d in [0, vo)
+            lhs = dl[:, 0:vo].reshape(s * b * vo, p * t)
+            prod = _i8_matmul(lhs, e_step[d]).reshape(s * b, vo, cols)
+            out = out.at[:, d:m].add(prod)
+        elif d > m:
+            c = d - m  # o in [0, c), i = o - d + 2m in [2m - d, m)
+            lhs = dl[:, 2 * m - d : m].reshape(s * b * c, p * t)
+            prod = _i8_matmul(lhs, e_step[d]).reshape(s * b, c, cols)
+            out = out.at[:, 0:c].add(prod)
+    return out.reshape(s, b, m, cols)
+
+
+def recombine_block_prods(prods, k_out: int, d_shifts):
+    """Recombine limb-plane partial products into int32 polynomials mod 2^32.
+
+    prods: [S, B, M, K*4*T] int32 from `block_toeplitz_matmul`;
+    d_shifts: per-digit-limb bit shifts from `split_small_limbs`.
+    Returns [B, K, N] int32.
+    """
+    s, b, m, cols = prods.shape
+    t = cols // (k_out * 4)
+    pr = prods.reshape(s, b, m, k_out, 4, t)
+    acc = jnp.zeros((b, k_out, m, t), jnp.int32)
+    for si in range(s):
+        for j in range(4):
+            shift = int(d_shifts[si]) + 8 * j
+            if shift < 32:
+                acc = acc + (jnp.swapaxes(pr[si, :, :, :, j, :], 1, 2) << shift)
+    return acc.reshape(b, k_out, m * t)
+
+
 def poly_mul_batched_torus(a_batch, s_shared):
     """out[b] = sum_p negacyclic_conv(s_shared[p], a_batch[b, p]), mod 2^32.
 

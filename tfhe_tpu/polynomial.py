@@ -14,34 +14,28 @@ import functools
 import jax.numpy as jnp
 
 
-@functools.lru_cache(maxsize=None)
-def _monomial_gather_base(n: int):
-    """Static [N] iota used to build monomial-rotation gather indices.
-
-    NumPy constant (NOT jnp): lru_cached values must never be traced arrays,
-    or a tracer from one jit scope would leak into later traces."""
-    import numpy as np
-
-    return np.arange(n, dtype=np.int32)
-
-
 def mul_by_monomial(p, shift):
     """p * x^shift mod (x^N + 1), exact for any integer shift (incl. negative).
 
-    Branchless gather from the doubled array [p, -p]: since x^N = -1, the
-    coefficients are 2N-periodic with sign flip every N. `shift` may be a
-    scalar or batched with shape == p.shape[:-1] (per-ciphertext rotations in
-    blind rotate). Reference semantics: DarkIntegers mul_by_monomial, used at
+    Barrel rotation of the doubled array [p, -p]: since x^N = -1 the
+    coefficients are 2N-periodic with sign flip every N, so the product is
+    roll(doubled, s)[..., :N] with s = shift mod 2N. The roll is computed as
+    log2(2N) stages of static rolls + per-element selects on the shift's
+    bits — fully vectorized over the batch, no data-dependent gather (TPU
+    gathers run ~2 Gelem/s; rolls and selects run at memory bandwidth).
+    `shift` may be a scalar or batched with shape == p.shape[:-1].
+    Reference semantics: DarkIntegers mul_by_monomial, used at
     src/tlwe.jl:92-93 and src/bootstrap.jl:54 (negative shifts).
     """
     n = p.shape[-1]
     doubled = jnp.concatenate([p, -p], axis=-1)  # [..., 2N]
-    r = _monomial_gather_base(n)  # [N]
-    shift = jnp.asarray(shift, jnp.int32)
-    idx = jnp.mod(r - shift[..., None], 2 * n)  # [..., N]
-    if idx.ndim == 1:
-        return jnp.take(doubled, idx, axis=-1)
-    return jnp.take_along_axis(doubled, idx, axis=-1)
+    s = jnp.mod(jnp.asarray(shift, jnp.int32), 2 * n)[..., None]  # [..., 1]
+    stages = (2 * n - 1).bit_length()
+    for j in range(stages):
+        rolled = jnp.roll(doubled, 1 << j, axis=-1)
+        take = (s >> j) & 1
+        doubled = jnp.where(take != 0, rolled, doubled)
+    return doubled[..., :n]
 
 
 def reverse_polynomial(p):
