@@ -1,0 +1,63 @@
+"""Differential tests: fused Pallas CMUX kernels vs the XLA path, bit-exact.
+
+Runs the kernels in interpret mode on CPU; bit-exactness vs the NumPy oracle
+follows by composition with tests/test_oracle_equivalence.py (the XLA path is
+oracle-exact).
+"""
+
+import numpy as np
+import pytest
+
+import tfhe_tpu.bootstrap as bs
+import tfhe_tpu.tlwe as tlwe_mod
+from tfhe_tpu.ops.conv import split_small_limbs
+from tfhe_tpu.ops.pallas_cmux import cmux_step_pallas
+from tfhe_tpu.tgsw import decomp_offset
+
+
+def rand_t32(rng, shape):
+    return rng.integers(-(2**31), 2**31, size=shape, dtype=np.int64).astype(np.int32)
+
+
+@pytest.mark.parametrize(
+    "n,l,b,t,batch",
+    [
+        (64, 3, 7, 32, 8),     # 128-bit-style decomposition, single digit limb
+        (64, 2, 10, 32, 8),    # 80-bit-style: two digit limbs
+        (256, 3, 7, 64, 4),    # toy production shape
+    ],
+)
+def test_cmux_step_pallas_matches_xla(rng, n, l, b, t, batch):
+    k1 = 2
+    gsw = rand_t32(rng, (1, l, k1, k1, n))
+    bk = bs.bootstrap_key_from_raw(gsw, l, b, block=t)
+    acc = rand_t32(rng, (batch, k1, n))
+    bara = rng.integers(0, 2 * n, size=batch).astype(np.int32)
+    bara[0] = 0  # no-op lane
+
+    want = bs.mux_rotate_baked(acc, bk.baked[0], bara, l, b, t)
+
+    _, d_shifts = split_small_limbs(np.zeros((1,), np.int32), b - 1)
+    got = cmux_step_pallas(
+        acc, bk.baked[0], bara,
+        n=n, k1=k1, l=l, b=b, t=t,
+        s_limbs=len(d_shifts), d_shifts=tuple(d_shifts),
+        offset=decomp_offset(l, b), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_blind_rotate_pallas_dispatch(rng, monkeypatch):
+    """Full blind rotate through the Pallas path (interpret) == XLA path."""
+    n, l, b, k1, n_lwe, batch = 64, 3, 7, 2, 6, 4
+    gsw = rand_t32(rng, (n_lwe, l, k1, k1, n))
+    bk = bs.bootstrap_key_from_raw(gsw, l, b)
+    acc0 = rand_t32(rng, (batch, k1, n))
+    bara = rng.integers(0, 2 * n, size=(batch, n_lwe)).astype(np.int32)
+    acc = tlwe_mod.TLweSample(acc0, np.zeros(batch, np.float32))
+
+    monkeypatch.setenv("TFHE_TPU_CMUX", "xla")
+    want = bs.blind_rotate(acc, bk, bara).a
+    monkeypatch.setenv("TFHE_TPU_CMUX", "pallas")
+    got = bs.blind_rotate(acc, bk, bara).a
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -33,13 +33,13 @@ from .tlwe import (
 
 
 def _default_block(poly_degree: int) -> int:
-    """Toeplitz block size T: lane-aligned when possible, M = N/T >= 2.
-
-    T=64 for production N=1024: the baked key is n*2N*P*K4*T bytes (linear in
-    T — 4.0 GB at T=64 for the 128-bit preset vs 7.9 GB at T=128), and a
-    384-wide contraction still tiles the MXU well.
+    """Toeplitz block size T: the TPU lane width (128) when possible,
+    M = N/T >= 2. T=128 is required by the Pallas CMUX kernels (Mosaic
+    forbids lane-splitting reshapes, so every block boundary must be
+    lane-aligned); the baked key is n*2N*P*K4*T bytes (7.9 GB at T=128 for
+    the 128-bit preset — HBM traded for gather-free MXU streaming).
     """
-    for t in (64, 32, 16, 8, 4, 2, 1):
+    for t in (128, 64, 32, 16, 8, 4, 2, 1):
         if poly_degree % t == 0 and poly_degree // t >= 2:
             return t
     return 1
@@ -143,6 +143,19 @@ def mux_rotate(accum: TLweSample, bki_limbs, barai,
     return TLweSample(accum.a + delta.a, accum.cv)
 
 
+def _use_pallas_cmux() -> bool:
+    """Pallas kernels on real TPU; XLA path elsewhere (tests force either via
+    TFHE_TPU_CMUX=pallas|xla; CPU runs the kernels in interpret mode)."""
+    import os
+
+    mode = os.environ.get("TFHE_TPU_CMUX", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
     """Multiply the accumulator by X^{sum_i bara_i * s_i} via n CMUX steps.
 
@@ -152,9 +165,31 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
     """
     l, b, t = bk.decomp_length, bk.log2_base, bk.block
 
-    def step(acc_a, xs):
-        e_i, bara_i = xs
-        return mux_rotate_baked(acc_a, e_i, bara_i, l, b, t), None
+    interpret = jax.default_backend() != "tpu"
+    # Compiled Mosaic kernels need lane-aligned blocks (T == 128); interpret
+    # mode (CPU differential tests) has no such constraint.
+    if _use_pallas_cmux() and (interpret or t == 128):
+        from .ops.conv import split_small_limbs
+        from .ops.pallas_cmux import cmux_step_pallas
+        from .tgsw import decomp_offset
+
+        _, d_shifts = split_small_limbs(jnp.zeros((1,), jnp.int32), b - 1)
+        s_limbs = len(d_shifts)
+        offset = decomp_offset(l, b)
+
+        def step(acc_a, xs):
+            e_i, bara_i = xs
+            out = cmux_step_pallas(
+                acc_a, e_i, bara_i,
+                n=bk.polynomial_degree, k1=bk.mask_size + 1, l=l, b=b, t=t,
+                s_limbs=s_limbs, d_shifts=tuple(d_shifts), offset=offset,
+                interpret=interpret,
+            )
+            return out, None
+    else:
+        def step(acc_a, xs):
+            e_i, bara_i = xs
+            return mux_rotate_baked(acc_a, e_i, bara_i, l, b, t), None
 
     bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)  # [n, B]
     out_a, _ = jax.lax.scan(step, accum.a, (bk.baked, bara_t))

@@ -174,7 +174,12 @@ def _block_toeplitz_index(n: int, t: int):
     d = np.arange(m2)[:, None, None]
     u = np.arange(t)[None, :, None]
     w = np.arange(t)[None, None, :]
-    return ((d * t + w - u) % (2 * n)).astype(np.int32)
+    idx = ((d * t + w - u) % (2 * n)).astype(np.int32)
+    # REVERSED-d storage: baked[d'] = block_shift (2M - d') mod 2M. With this
+    # layout the weight window of output block o is the contiguous slice
+    # rows i in [0,o) -> baked[2M-o : 2M], i in [o,M) -> baked[0 : M-o],
+    # which the Pallas matmul kernel consumes with zero copies.
+    return idx[(m2 - np.arange(m2)) % m2]
 
 
 def bake_block_toeplitz(limbs_doubled, t: int, chunk: int = 16):
@@ -238,15 +243,16 @@ def block_toeplitz_matmul(d_limbs, e_step, t: int):
     )
     out = jnp.zeros((s * b, m, cols), jnp.int32)
     for d in range(m2):
+        e_d = e_step[(m2 - d) % m2]  # keys store the REVERSED-d layout
         if d < m:
             vo = m - d  # o in [d, m), i = o - d in [0, vo)
             lhs = dl[:, 0:vo].reshape(s * b * vo, p * t)
-            prod = _i8_matmul(lhs, e_step[d]).reshape(s * b, vo, cols)
+            prod = _i8_matmul(lhs, e_d).reshape(s * b, vo, cols)
             out = out.at[:, d:m].add(prod)
         elif d > m:
             c = d - m  # o in [0, c), i = o - d + 2m in [2m - d, m)
             lhs = dl[:, 2 * m - d : m].reshape(s * b * c, p * t)
-            prod = _i8_matmul(lhs, e_step[d]).reshape(s * b, c, cols)
+            prod = _i8_matmul(lhs, e_d).reshape(s * b, c, cols)
             out = out.at[:, 0:c].add(prod)
     return out.reshape(s, b, m, cols)
 
