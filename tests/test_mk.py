@@ -1,0 +1,200 @@
+"""Multi-key TFHE: bit-exactness vs the NumPy MK oracle + end-to-end gates.
+
+Injected-randomness equivalence at each MK checkpoint (uni-encryption,
+expansion, external product, blind rotate, keyswitch), then decrypt-level
+NAND round trips with a real 2-party ceremony on toy parameters.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import spec.oracle_mk as omk
+
+import tfhe_tpu as tt
+import tfhe_tpu.mk as mk
+import tfhe_tpu.mk.internals as mki
+from tfhe_tpu.tgsw import tgsw_extern_mul_prepared
+from tfhe_tpu.tlwe import TLweSample
+
+N = 64
+L = 3  # decomp length
+B = 7  # log2 base
+PARTIES = 2
+
+
+def rand_t32(rng, shape):
+    return rng.integers(-(2**31), 2**31, size=shape, dtype=np.int64).astype(np.int32)
+
+
+def _random_ue(rng):
+    return {
+        "message": 1,
+        "r": rng.integers(0, 2, size=N).astype(np.int32),
+        "c1": rand_t32(rng, (L, N)),
+        "f1": rand_t32(rng, (L, N)),
+        "noises": {k: rand_t32(rng, (L, N)) for k in ("c0", "d0", "d1", "f0")},
+        "tlwe_key": rng.integers(0, 2, size=N).astype(np.int32),
+        "shared_a": rand_t32(rng, (L, N)),
+    }
+
+
+def test_public_key_core_matches_oracle(rng):
+    key = rng.integers(0, 2, size=(1, N)).astype(np.int32)
+    shared = rand_t32(rng, (L, N))
+    noise = rand_t32(rng, (L, N))
+    got = np.asarray(mki.public_key_core(key, shared, noise))
+    want = omk.public_key_core(key[0], shared, noise)
+    np.testing.assert_array_equal(got, want)
+
+
+def _ue_pair(rng):
+    u = _random_ue(rng)
+    pk_b = rand_t32(rng, (L, N))
+    got = mki.mk_tgsw_encrypt_core(
+        u["message"], u["r"], u["c1"], u["f1"],
+        u["noises"]["c0"], u["noises"]["d0"], u["noises"]["d1"], u["noises"]["f0"],
+        u["tlwe_key"][None], u["shared_a"], pk_b, L, B,
+    )
+    want = omk.mk_tgsw_encrypt_core(
+        u["message"], u["r"], u["c1"], u["f1"], u["noises"],
+        u["tlwe_key"], u["shared_a"], pk_b, L, B,
+    )
+    return got, want
+
+
+def test_mk_tgsw_encrypt_core_matches_oracle(rng):
+    got, want = _ue_pair(rng)
+    for idx, name in enumerate(("c0", "c1", "d0", "d1", "f0", "f1")):
+        np.testing.assert_array_equal(
+            np.asarray(got.cd)[idx], want[name], err_msg=name
+        )
+
+
+def test_mk_tgsw_expand_matches_oracle(rng):
+    got_ue, want_ue = _ue_pair(rng)
+    pk_bs = rand_t32(rng, (PARTIES, L, N))
+    party = 1
+    got = mki.mk_tgsw_expand(got_ue, party, pk_bs, L, B)
+    want = omk.mk_tgsw_expand(want_ue, party, pk_bs, L, B)
+    np.testing.assert_array_equal(np.asarray(got.x), want["x"])
+    np.testing.assert_array_equal(np.asarray(got.y), want["y"])
+    np.testing.assert_array_equal(np.asarray(got.c0), want["c0"])
+    np.testing.assert_array_equal(np.asarray(got.c1), want["c1"])
+
+
+def _random_exp(rng):
+    return dict(
+        x=rand_t32(rng, (L, PARTIES, N)),
+        y=rand_t32(rng, (L, PARTIES, N)),
+        c0=rand_t32(rng, (L, N)),
+        c1=rand_t32(rng, (L, N)),
+    )
+
+
+@pytest.mark.parametrize("party", [0, 1])
+def test_mk_extern_mul_matches_oracle(rng, party):
+    exp = _random_exp(rng)
+    exp_s = mki.MKTGswExpSample(exp["x"], exp["y"], exp["c0"], exp["c1"])
+    limbs = mki.build_extern_operand(exp_s, party, PARTIES, L)
+    batch = 2
+    a = rand_t32(rng, (batch, PARTIES, N))
+    b = rand_t32(rng, (batch, N))
+    acc = TLweSample(
+        np.concatenate([a, b[:, None, :]], axis=1), np.zeros(batch, np.float32)
+    )
+    got = np.asarray(tgsw_extern_mul_prepared(acc, limbs, L, B).a)
+    for i in range(batch):
+        wa, wb = omk.mk_tgsw_extern_mul(a[i], b[i], exp, party, PARTIES, L, B)
+        np.testing.assert_array_equal(got[i, :PARTIES], wa)
+        np.testing.assert_array_equal(got[i, PARTIES], wb)
+
+
+def test_mk_blind_rotate_and_bootstrap_matches_oracle(rng):
+    n_lwe = 4
+    # random (structurally arbitrary) expanded samples per (party, key bit)
+    exps = [[_random_exp(rng) for _ in range(n_lwe)] for _ in range(PARTIES)]
+    all_limbs = np.stack([
+        np.asarray(mki.build_extern_operand(
+            mki.MKTGswExpSample(e["x"], e["y"], e["c0"], e["c1"]),
+            party, PARTIES, L,
+        ))
+        for party in range(PARTIES)
+        for e in exps[party]
+    ])
+    bk = mki.MKBootstrapKey(jnp.asarray(all_limbs), PARTIES, n_lwe, L, B, N)
+
+    batch = 2
+    x_a = rand_t32(rng, (batch, PARTIES, n_lwe))
+    x_b = rand_t32(rng, (batch,))
+    mu = int(np.int32(1 << 29))
+    x = mki.MKLweSample(x_a, x_b, np.zeros(batch, np.float32))
+    got = mki.mk_bootstrap_wo_keyswitch(bk, mu, x)
+    for i in range(batch):
+        wa, wb = omk.mk_bootstrap_wo_keyswitch(
+            exps, mu, x_a[i].T, x_b[i], N, L, B
+        )
+        np.testing.assert_array_equal(np.asarray(got.a)[i], wa)
+        assert int(np.asarray(got.b)[i]) == int(wb)
+
+
+def test_mk_keyswitch_matches_oracle(rng):
+    from tfhe_tpu.keyswitch import KeyswitchKey, prepare_keyswitch_table
+
+    ks_l, ks_b = 8, 2
+    n_out = 12
+    base = 1 << ks_b
+    tables, keys = [], []
+    for _ in range(PARTIES):
+        ks_a = rand_t32(rng, (base - 1, ks_l, N, n_out))
+        ks_b_arr = rand_t32(rng, (base - 1, ks_l, N))
+        tables.append((ks_a, ks_b_arr))
+        keys.append(KeyswitchKey(
+            prepare_keyswitch_table(ks_a, ks_b_arr, n_out), N, n_out, ks_l, ks_b
+        ))
+    batch = 2
+    a = rand_t32(rng, (batch, PARTIES, N))
+    b = rand_t32(rng, (batch,))
+    got = mki.mk_keyswitch(
+        keys, mki.MKLweSample(a, b, np.zeros(batch, np.float32))
+    )
+    for i in range(batch):
+        wa, wb = omk.mk_keyswitch(tables, a[i], b[i], ks_l, ks_b)
+        np.testing.assert_array_equal(np.asarray(got.a)[i], wa)
+        assert int(np.asarray(got.b)[i]) == int(wb)
+
+
+@pytest.mark.parametrize("parties", [2, 3])
+def test_mk_nand_round_trip(parties):
+    """Full ceremony + batched MK NAND truth table on toy parameters.
+
+    Mirrors reference test/runtests.jl:60-100 (2-party NAND round trips).
+    """
+    params = mk.mktfhe_parameters_toy(max_parties=parties)
+    rng = jax.random.PRNGKey(42)
+    r_shared, r_enc, *r_parties = jax.random.split(rng, 2 + parties)
+
+    shared = mk.make_shared_key(r_shared, params)
+    sks, parts = [], []
+    for p in range(parties):
+        r_sk, r_part = jax.random.split(r_parties[p])
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(r_part, sk, shared))
+    ck = mk.make_mk_cloud_key(parts)
+
+    xs = jnp.asarray([False, False, True, True], bool)
+    ys = jnp.asarray([False, True, False, True], bool)
+    r1, r2 = jax.random.split(r_enc)
+    ct_x = mk.mk_encrypt(r1, sks, xs)
+    ct_y = mk.mk_encrypt(r2, sks, ys)
+
+    # encryption round-trips
+    np.testing.assert_array_equal(
+        np.asarray(mk.mk_decrypt(sks, ct_x)), np.asarray(xs)
+    )
+    out = mk.mk_gate_nand(ck, ct_x, ct_y)
+    np.testing.assert_array_equal(
+        np.asarray(mk.mk_decrypt(sks, out)), [True, True, True, False]
+    )

@@ -1,0 +1,207 @@
+"""Multi-key TFHE user API: parameter presets, key ceremony, encrypt/decrypt.
+
+TPU-native counterpart of the reference's MK API (reference: src/mk_api.jl).
+The trust boundaries match the reference's ceremony (SURVEY.md section 3.4):
+the server makes a SharedKey; each party derives a CloudKeyPart from its
+SecretKey + the SharedKey; the server assembles the MKCloudKey (expansion);
+encryption/decryption need all parties' secret keys jointly (reference
+issue #6 notes the same limitation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..api import SecretKey
+from ..keyswitch import KeyswitchKey, keyswitch_key_gen
+from ..lwe import lwe_key_gen
+from ..numeric import dtot32, encode_message, rand_uniform_torus32
+from ..params import SchemeParameters
+from ..tlwe import tlwe_key_gen
+from .internals import (
+    MKBootstrapKey,
+    MKLweSample,
+    MKTGswUESample,
+    mk_bootstrap_key,
+    mk_lwe_phase,
+    mk_tgsw_encrypt,
+    public_key_gen,
+    shared_key_gen,
+)
+
+
+def mktfhe_parameters_2party() -> SchemeParameters:
+    """Reference: src/mk_api.jl:4-10."""
+    return SchemeParameters(
+        lwe_size=500, lwe_noise_stddev=0.012467,
+        tlwe_polynomial_degree=1024, tlwe_mask_size=1,
+        bs_decomp_length=4, bs_log2_base=7, bs_noise_stddev=3.29e-10,
+        ks_decomp_length=8, ks_log2_base=2, ks_noise_stddev=2.44e-5,
+        max_parties=2,
+    )
+
+
+def mktfhe_parameters_4party() -> SchemeParameters:
+    """Reference: src/mk_api.jl:16-22."""
+    return SchemeParameters(
+        lwe_size=500, lwe_noise_stddev=0.012467,
+        tlwe_polynomial_degree=1024, tlwe_mask_size=1,
+        bs_decomp_length=5, bs_log2_base=6, bs_noise_stddev=3.29e-10,
+        ks_decomp_length=8, ks_log2_base=2, ks_noise_stddev=2.44e-5,
+        max_parties=4,
+    )
+
+
+def mktfhe_parameters_8party() -> SchemeParameters:
+    """Reference: src/mk_api.jl:28-34."""
+    return SchemeParameters(
+        lwe_size=500, lwe_noise_stddev=0.012467,
+        tlwe_polynomial_degree=1024, tlwe_mask_size=1,
+        bs_decomp_length=8, bs_log2_base=4, bs_noise_stddev=3.29e-10,
+        ks_decomp_length=8, ks_log2_base=2, ks_noise_stddev=2.44e-5,
+        max_parties=8,
+    )
+
+
+def mktfhe_parameters_toy(max_parties: int = 2) -> SchemeParameters:
+    """Tiny insecure MK preset for fast tests (exact arithmetic at any size).
+
+    bs noise matches the production presets: MK expansion multiplies the key
+    noise by ~sqrt(l*N)*(B/2) twice (uni-enc -> expand -> extern product), so
+    a loose stddev breaks decrypt margins even at toy sizes.
+    """
+    return SchemeParameters(
+        lwe_size=16, lwe_noise_stddev=2.0**-15,
+        tlwe_polynomial_degree=256, tlwe_mask_size=1,
+        bs_decomp_length=4, bs_log2_base=7, bs_noise_stddev=3.29e-10,
+        ks_decomp_length=8, ks_log2_base=2, ks_noise_stddev=2.0**-15,
+        max_parties=max_parties,
+    )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["a"],
+    meta_fields=["params"],
+)
+@dataclasses.dataclass(frozen=True)
+class SharedKey:
+    """Server-generated l uniform torus polynomials, common to all parties.
+
+    Reference: src/mk_api.jl:44-50 -> src/mk_internals.jl:106-111.
+    """
+
+    params: SchemeParameters
+    a: jax.Array  # int32[l, N]
+
+
+def make_shared_key(rng, params: SchemeParameters) -> SharedKey:
+    assert params.tlwe_mask_size == 1, "MK-TFHE requires k=1 (reference issue #2)"
+    return SharedKey(
+        params,
+        shared_key_gen(rng, params.bs_decomp_length, params.tlwe_polynomial_degree),
+    )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["public_key", "key_uni_enc", "keyswitch_key"],
+    meta_fields=["params"],
+)
+@dataclasses.dataclass(frozen=True)
+class CloudKeyPart:
+    """One party's contribution: public key, uni-encrypted LWE key bits,
+    party-local keyswitch key. Travels party -> server.
+    Reference: src/mk_api.jl:61-77.
+    """
+
+    params: SchemeParameters
+    public_key: jax.Array  # int32[l, N]
+    key_uni_enc: MKTGswUESample  # [n, 6, l, N]
+    keyswitch_key: KeyswitchKey
+
+
+def make_cloud_key_part(rng, secret_key: SecretKey,
+                        shared: SharedKey) -> CloudKeyPart:
+    """Party-side keygen (fresh internal TLWE key never leaves this function).
+
+    Reference: src/mk_api.jl:66-76.
+    """
+    params = secret_key.params
+    rng_tlwe, rng_pk, rng_bk, rng_ks = jax.random.split(rng, 4)
+    tlwe_key = tlwe_key_gen(rng_tlwe, params.tlwe_polynomial_degree, 1)
+    pk = public_key_gen(rng_pk, tlwe_key, params.bs_noise_stddev, shared.a)
+    uni = mk_tgsw_encrypt(
+        rng_bk, secret_key.key, params.bs_noise_stddev, tlwe_key, shared.a, pk,
+        params.bs_decomp_length, params.bs_log2_base,
+        batch_shape=(params.lwe_size,),
+    )
+    ks = keyswitch_key_gen(
+        rng_ks, params.ks_noise_stddev, tlwe_key.reshape(-1), secret_key.key,
+        params.ks_decomp_length, params.ks_log2_base,
+    )
+    return CloudKeyPart(params, pk, uni, ks)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["bootstrap_key", "keyswitch_keys"],
+    meta_fields=["params", "parties"],
+)
+@dataclasses.dataclass(frozen=True)
+class MKCloudKey:
+    """Assembled server-side evaluation key. Reference: src/mk_api.jl:85-101."""
+
+    params: SchemeParameters
+    parties: int
+    bootstrap_key: MKBootstrapKey
+    keyswitch_keys: tuple  # tuple of KeyswitchKey, one per party
+
+
+def make_mk_cloud_key(parts) -> MKCloudKey:
+    """Server-side assembly: expand every party's uni-encryptions against all
+    public keys. Reference: src/mk_api.jl:91-100."""
+    params = parts[0].params
+    parties = len(parts)
+    assert parties <= params.max_parties, (parties, params.max_parties)
+    pk_bs = jnp.stack([p.public_key for p in parts])  # [parties, l, N]
+    bk = mk_bootstrap_key(
+        [p.key_uni_enc for p in parts], pk_bs,
+        params.bs_decomp_length, params.bs_log2_base,
+    )
+    return MKCloudKey(params, parties, bk, tuple(p.keyswitch_key for p in parts))
+
+
+def mk_encrypt(rng, secret_keys, message) -> MKLweSample:
+    """Joint encryption (needs ALL parties' secret keys; reference issue #6).
+
+    message: bool[...]. Reference: src/mk_api.jl:110-126.
+    """
+    params = secret_keys[0].params
+    parties = len(secret_keys)
+    n = params.lwe_size
+    alpha = params.lwe_noise_stddev
+    message = jnp.asarray(message, bool)
+    mu = jnp.where(
+        message,
+        jnp.int32(encode_message(1, 8)),
+        jnp.int32(encode_message(-1, 8)),
+    )
+    rng_a, rng_e = jax.random.split(rng)
+    a = rand_uniform_torus32(rng_a, message.shape + (parties, n))
+    keys = jnp.stack([sk.key for sk in secret_keys])  # [parties, n]
+    b = mu + dtot32(
+        jax.random.normal(rng_e, message.shape, jnp.float32) * jnp.float32(alpha)
+    )
+    b = b + jnp.sum(a * keys, axis=(-1, -2), dtype=jnp.int32)
+    return MKLweSample(a, b, jnp.full(b.shape, alpha**2, jnp.float32))
+
+
+def mk_decrypt(secret_keys, sample: MKLweSample) -> jax.Array:
+    """Joint decryption: sign of the joined phase. Reference: src/mk_api.jl:135-138."""
+    keys = jnp.stack([sk.key for sk in secret_keys])
+    return mk_lwe_phase(sample, keys) > 0

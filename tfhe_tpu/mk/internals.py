@@ -1,0 +1,448 @@
+"""Multi-key TFHE internals: MK samples, key material, expansion, MK CMUX.
+
+TPU-native counterpart of the reference's MK layer
+(reference: src/mk_internals.jl:1-515, the Chen-Chillotti-Song MK-TFHE
+scheme). Batched struct-of-arrays throughout; mask_size k = 1 (hardcoded in
+the reference too, issue #2 at src/mk_internals.jl:129-131).
+
+Design notes (SURVEY.md section 7 phase 8):
+
+* An MK-TLWE sample [B, parties+1, N] has the same shape class as a TLWE
+  sample with mask size `parties`, so the MK external product reuses the
+  single-key prepared-operand contraction (ops/conv.py:poly_mul_prepared):
+  the expanded TGSW sample is assembled once at key time into a block-
+  structured [P, K, N] operand (P = (parties+1)*l, K = parties+1) whose
+  zero blocks encode the sparsity of the paper's expanded matrix.
+* The reference's precision-driven "inverse-transform each term before
+  summing" constraint (src/mk_internals.jl:359-366) vanishes here: integer
+  limb convolutions are exact, so any summation order gives identical bits
+  (SURVEY.md section 2 item 8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import polynomial
+from ..keyswitch import KeyswitchKey, keyswitch
+from ..lwe import LweSample
+from ..numeric import dtot32, rand_uniform_bool, rand_uniform_torus32
+from ..ops import conv
+from ..tgsw import decompose, gadget_values
+from ..tlwe import TLweSample
+
+
+# --- MK-LWE (reference: src/mk_internals.jl:6-40) ---
+
+
+class MKLweSample(NamedTuple):
+    """Batch of MK-LWE ciphertexts: per-party masks + one joint body.
+
+    a: int32[..., parties, n]; b: int32[...]; cv: float32[...].
+    Reference: src/mk_internals.jl:6-18.
+    """
+
+    a: jax.Array
+    b: jax.Array
+    cv: jax.Array
+
+    @property
+    def parties(self) -> int:
+        return self.a.shape[-2]
+
+    @property
+    def n(self) -> int:
+        return self.a.shape[-1]
+
+    def __add__(self, other: "MKLweSample") -> "MKLweSample":
+        return MKLweSample(self.a + other.a, self.b + other.b, self.cv + other.cv)
+
+    def __sub__(self, other: "MKLweSample") -> "MKLweSample":
+        return MKLweSample(self.a - other.a, self.b - other.b, self.cv + other.cv)
+
+    def __neg__(self) -> "MKLweSample":
+        return MKLweSample(-self.a, -self.b, self.cv)
+
+
+def mk_lwe_phase(sample: MKLweSample, lwe_keys) -> jax.Array:
+    """b + sum_p (-<a_p, s_p>) summed over parties.
+
+    lwe_keys: int32[parties, n]. Reference: src/mk_internals.jl:29-35.
+    """
+    dots = jnp.sum(sample.a * lwe_keys, axis=(-1, -2), dtype=jnp.int32)
+    return sample.b - dots
+
+
+def mk_lwe_noiseless_trivial(mu, n: int, parties: int, batch_shape=()) -> MKLweSample:
+    """Reference: src/mk_internals.jl:38-40."""
+    mu = jnp.broadcast_to(jnp.asarray(mu, jnp.int32), batch_shape)
+    return MKLweSample(
+        jnp.zeros(batch_shape + (parties, n), jnp.int32),
+        mu,
+        jnp.zeros(batch_shape, jnp.float32),
+    )
+
+
+# --- MK-TLWE (reference: src/mk_internals.jl:46-95) ---
+# Represented as TLweSample with mask rows = parties (body last), so the
+# single-key polynomial machinery applies unchanged.
+
+
+def mk_tlwe_noiseless_trivial(mu, parties: int) -> TLweSample:
+    """(0,...,0, mu). mu: int32[..., N]. Reference: src/mk_internals.jl:69-76."""
+    mu = jnp.asarray(mu, jnp.int32)
+    zeros = jnp.zeros(mu.shape[:-1] + (parties,) + mu.shape[-1:], jnp.int32)
+    full = jnp.concatenate([zeros, mu[..., None, :]], axis=-2)
+    return TLweSample(full, jnp.zeros(mu.shape[:-1], jnp.float32))
+
+
+def mk_tlwe_extract_sample(sample: TLweSample) -> MKLweSample:
+    """Extract the constant coefficient as an MK-LWE sample (a per party).
+
+    Reference: src/mk_internals.jl:88-95 (k = 1: iterates over parties).
+    """
+    rev = polynomial.reverse_polynomial(sample.mask)  # [..., parties, N]
+    b = sample.body[..., 0]
+    return MKLweSample(rev, b, jnp.zeros(b.shape, jnp.float32))
+
+
+# --- Shared / public keys (reference: src/mk_internals.jl:101-139) ---
+
+
+def shared_key_gen(rng, decomp_length: int, poly_degree: int) -> jax.Array:
+    """l uniform torus polynomials, common to all parties: int32[l, N].
+
+    Reference: src/mk_internals.jl:106-111.
+    """
+    return rand_uniform_torus32(rng, (decomp_length, poly_degree))
+
+
+def public_key_core(tlwe_key, shared_a, noise_t32) -> jax.Array:
+    """b_i = s * a_i + e_i. tlwe_key: int32[1, N] (k=1); shared_a, noise: [l, N].
+
+    Reference: src/mk_internals.jl:120-138.
+    """
+    prods = conv.poly_mul_batched_torus(shared_a[:, None, :], tlwe_key)
+    return prods + jnp.asarray(noise_t32, jnp.int32)
+
+
+def public_key_gen(rng, tlwe_key, alpha: float, shared_a) -> jax.Array:
+    noise = dtot32(
+        jax.random.normal(rng, shared_a.shape, jnp.float32) * jnp.float32(alpha)
+    )
+    return public_key_core(tlwe_key, shared_a, noise)
+
+
+# --- Uni-encryption (reference: src/mk_internals.jl:146-227) ---
+
+
+class MKTGswUESample(NamedTuple):
+    """RGSW.UniEnc output: six l-vectors of torus polynomials, int32[6, l, N]
+    stacked in order (c0, c1, d0, d1, f0, f1). Leading batch dims allowed.
+    Reference: src/mk_internals.jl:146-179.
+    """
+
+    cd: jax.Array  # [..., 6, l, N]
+
+    @property
+    def c0(self):
+        return self.cd[..., 0, :, :]
+
+    @property
+    def c1(self):
+        return self.cd[..., 1, :, :]
+
+    @property
+    def d0(self):
+        return self.cd[..., 2, :, :]
+
+    @property
+    def d1(self):
+        return self.cd[..., 3, :, :]
+
+    @property
+    def f0(self):
+        return self.cd[..., 4, :, :]
+
+    @property
+    def f1(self):
+        return self.cd[..., 5, :, :]
+
+
+def mk_tgsw_encrypt_core(message, r, c1, f1, noise_c0, noise_d0, noise_d1,
+                         noise_f0, tlwe_key, shared_a, pk_b,
+                         decomp_length: int, log2_base: int) -> MKTGswUESample:
+    """Deterministic RGSW.UniEnc with injected randomness.
+
+    message: int32 scalar or [...]; r: int32[..., N] binary; c1, f1 uniform
+    torus [..., l, N]; noises [..., l, N]; tlwe_key int32[1, N]; shared_a,
+    pk_b [l, N]. Reference: src/mk_internals.jl:185-227.
+    """
+    l = decomp_length
+    n = r.shape[-1]
+    g = gadget_values(l, log2_base)  # [l]
+    message = jnp.asarray(message, jnp.int32)
+    batch = r.shape[:-1]
+
+    const_mg = (message[..., None, None] * g[:, None]) * (
+        jnp.zeros((n,), jnp.int32).at[0].set(1)
+    )  # [..., l, N], m*g on the constant coefficient
+
+    def s_mul(polys):  # conv with the party's ring key, batched over [..., l]
+        flat = polys.reshape((-1, 1, n))
+        return conv.poly_mul_batched_torus(flat, tlwe_key).reshape(polys.shape)
+
+    # r * t for t in {shared_a, pk_b}: batched pairwise conv — Toeplitz of
+    # the small binary operand r against each torus poly.
+    def r_conv(torus_polys):  # [..., l, N] broadcast of [l, N]
+        rb = jnp.broadcast_to(r[..., None, :], batch + (l, n))
+        tb = jnp.broadcast_to(torus_polys, batch + (l, n))
+        return conv.negacyclic_mul(rb, tb)
+
+    c0 = noise_c0 + s_mul(c1) + const_mg
+    d1 = noise_d1 + r_conv(shared_a) + const_mg
+    d0 = noise_d0 + r_conv(pk_b)
+    rg = r[..., None, :] * g[:, None]  # r * g[i], every coefficient
+    f0 = noise_f0 + s_mul(f1) + rg
+    return MKTGswUESample(
+        jnp.stack([c0, c1, d0, d1, f0, f1], axis=-3)
+    )
+
+
+def mk_tgsw_encrypt(rng, message, alpha: float, tlwe_key, shared_a, pk_b,
+                    decomp_length: int, log2_base: int,
+                    batch_shape=()) -> MKTGswUESample:
+    """Fresh uni-encryption(s). message broadcastable to batch_shape.
+
+    Reference: src/mk_internals.jl:185-227.
+    """
+    l = decomp_length
+    n = shared_a.shape[-1]
+    keys = jax.random.split(rng, 7)
+    r = rand_uniform_bool(keys[0], batch_shape + (n,))
+    c1 = rand_uniform_torus32(keys[1], batch_shape + (l, n))
+    f1 = rand_uniform_torus32(keys[2], batch_shape + (l, n))
+
+    def gauss(k):
+        return dtot32(
+            jax.random.normal(k, batch_shape + (l, n), jnp.float32)
+            * jnp.float32(alpha)
+        )
+
+    return mk_tgsw_encrypt_core(
+        message, r, c1, f1, gauss(keys[3]), gauss(keys[4]), gauss(keys[5]),
+        gauss(keys[6]), tlwe_key, shared_a, pk_b, decomp_length, log2_base,
+    )
+
+
+# --- Expansion (reference: src/mk_internals.jl:230-345) ---
+
+
+class MKTGswExpSample(NamedTuple):
+    """Sparse storage of the expanded (parties+1)^2 block matrix:
+    x, y: [..., l, parties, N]; c0, c1: [..., l, N].
+    Reference: src/mk_internals.jl:240-271.
+    """
+
+    x: jax.Array
+    y: jax.Array
+    c0: jax.Array
+    c1: jax.Array
+
+
+def mk_tgsw_expand(ue: MKTGswUESample, party: int, pk_bs,
+                   decomp_length: int, log2_base: int) -> MKTGswExpSample:
+    """RGSW.Expand: extend a party's uni-encryption against all public keys.
+
+    ue: batch [..., 6, l, N]; pk_bs: [parties, l, N].
+    Reference: src/mk_internals.jl:304-345.
+    """
+    parties, l, n = pk_bs.shape
+    batch = ue.cd.shape[:-3]
+
+    diff = pk_bs[:, None] - pk_bs[None, :]  # [i, party', l, N]
+    dec = decompose(diff[:, party], decomp_length, log2_base)
+    # dec: [parties(i), l(j), l(dec), N]
+    # sum_dec conv(dec[i, j, dec], f{0,1}[dec]) for every (i, j): a
+    # digits [parties*l, l_dec, N] x [l_dec, 2, N] contraction; f0/f1 depend
+    # on the UE batch element, so vmap over the batch.
+    def one(ue_cd, dg):
+        # ue_cd: [6, l, N]; dg: [parties, l(j), l_dec, N]
+        f0 = ue_cd[4]
+        f1 = ue_cd[5]
+        t = jnp.stack([f0, f1], axis=1)  # [l_dec, 2, N]
+        flat = dg.reshape(parties * l, decomp_length, n)
+        prods = conv.poly_mul_batched_small(flat, t, log2_base - 1)
+        return prods.reshape(parties, l, 2, n)  # [i, j, {x,y}, N]
+
+    flat_ue = ue.cd.reshape((-1, 6, l, n))
+    adds = jax.vmap(one, in_axes=(0, None))(flat_ue, dec)
+    adds = adds.reshape(batch + (parties, l, 2, n))
+    x_add = jnp.moveaxis(adds[..., 0, :], -3, -2)  # [..., l(j), parties, N]
+    y_add = jnp.moveaxis(adds[..., 1, :], -3, -2)
+
+    x = ue.d0[..., :, None, :] + x_add
+    y = y_add
+    # party's own column: x = d0, y = d1 (no cross terms)
+    x = x.at[..., :, party, :].set(ue.d0)
+    y = y.at[..., :, party, :].set(ue.d1)
+    return MKTGswExpSample(x, y, ue.c0, ue.c1)
+
+
+def build_extern_operand(exp: MKTGswExpSample, party: int, parties: int,
+                         decomp_length: int) -> jax.Array:
+    """Assemble the expanded sample into the block [P, K, N] contraction
+    operand (P = (parties+1)*l rows (j, l'), K = parties+1 outputs), then
+    limb-prepare it. Returns int8[..., 4, P, K, 2N].
+
+    Block structure (reference contraction src/mk_internals.jl:368-387):
+      col i != party:  rows (j=i, l') = y[l', party]
+      col party:       rows (j, l')   = y[l', j];  rows (body, l') = c1[l']
+      col body (last): rows (j, l')   = x[l', j];  rows (body, l') = c0[l']
+    """
+    l = decomp_length
+    x, y, c0, c1 = exp.x, exp.y, exp.c0, exp.c1
+    batch = c0.shape[:-2]
+    n = c0.shape[-1]
+    kk = parties + 1
+    t = jnp.zeros(batch + (kk, l, kk, n), jnp.int32)  # rows (j, l'), cols k
+
+    for i in range(parties):
+        if i != party:
+            t = t.at[..., i, :, i, :].set(y[..., :, party, :])
+        t = t.at[..., i, :, party, :].set(y[..., :, i, :])
+        t = t.at[..., i, :, kk - 1, :].set(x[..., :, i, :])
+    t = t.at[..., kk - 1, :, party, :].set(c1)
+    t = t.at[..., kk - 1, :, kk - 1, :].set(c0)
+    t = t.reshape(batch + (kk * l, kk, n))
+    return conv.prepare_shared_torus(t)
+
+
+# --- MK keyswitch (reference: src/mk_internals.jl:397-411) ---
+
+
+def mk_keyswitch(ks_keys, sample: MKLweSample) -> MKLweSample:
+    """Per-party single-key keyswitch of each mask column, then recombine.
+
+    ks_keys: list of `parties` KeyswitchKey (party-local out keys).
+    Reference: src/mk_internals.jl:397-411.
+    """
+    parts = []
+    zero_b = jnp.zeros(sample.b.shape, jnp.int32)
+    zero_cv = jnp.zeros(sample.b.shape, jnp.float32)
+    for p, ks in enumerate(ks_keys):
+        part = keyswitch(ks, LweSample(sample.a[..., p, :], zero_b, zero_cv))
+        parts.append(part)
+    a_out = jnp.stack([p.a for p in parts], axis=-2)  # [..., parties, n_out]
+    b_out = sample.b + sum(p.b for p in parts)
+    return MKLweSample(a_out, b_out, sample.cv)
+
+
+# --- MK bootstrap (reference: src/mk_internals.jl:414-515) ---
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["limbs"],
+    meta_fields=["parties", "lwe_size", "decomp_length", "log2_base",
+                 "polynomial_degree"],
+)
+@dataclasses.dataclass(frozen=True)
+class MKBootstrapKey:
+    """Expanded + limb-prepared MK bootstrap key.
+
+    limbs: int8[parties * n, 4, P, K, 2N] — one prepared contraction operand
+    per (party, LWE key bit), party-major, matching the reference's rotation
+    order (src/mk_internals.jl:473-485: party outer loop, key-bit inner).
+    """
+
+    limbs: jax.Array
+    parties: int
+    lwe_size: int
+    decomp_length: int
+    log2_base: int
+    polynomial_degree: int
+
+
+def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
+                     log2_base: int) -> MKBootstrapKey:
+    """Server-side expansion of all parties' uni-encrypted key bits.
+
+    parts_ue: list of `parties` MKTGswUESample batches [n, 6, l, N];
+    pk_bs: [parties, l, N]. Reference: src/mk_internals.jl:442-461.
+    """
+    parties = pk_bs.shape[0]
+    n_lwe = parts_ue[0].cd.shape[0]
+    all_limbs = []
+    for party in range(parties):
+        exp = mk_tgsw_expand(
+            parts_ue[party], party, pk_bs, decomp_length, log2_base
+        )
+        limbs = build_extern_operand(exp, party, parties, decomp_length)
+        all_limbs.append(limbs)
+    limbs = jnp.concatenate(all_limbs, axis=0)  # [parties*n, 4, P, K, 2N]
+    return MKBootstrapKey(
+        limbs, parties, n_lwe, decomp_length, log2_base, pk_bs.shape[-1]
+    )
+
+
+def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara) -> TLweSample:
+    """parties x n CMUX steps; accum: [B, parties+1, N]; bara: [B, parties, n].
+
+    Reference: src/mk_internals.jl:473-485 (branchless equivalence as in the
+    single-key path, SURVEY.md section 2 item 3).
+    """
+    from ..bootstrap import mux_rotate
+
+    l, b = bk.decomp_length, bk.log2_base
+    steps = bk.parties * bk.lwe_size
+    bara_flat = jnp.asarray(bara, jnp.int32).reshape(
+        bara.shape[:-2] + (steps,)
+    )
+    bara_t = jnp.moveaxis(bara_flat, -1, 0)  # [steps, B]
+
+    def step(acc_a, xs):
+        limbs_i, bara_i = xs
+        acc = TLweSample(acc_a, jnp.zeros(acc_a.shape[0], jnp.float32))
+        from ..tgsw import tgsw_extern_mul_prepared
+        from ..tlwe import tlwe_mul_by_monomial
+
+        rot = tlwe_mul_by_monomial(acc, bara_i)
+        temp = TLweSample(rot.a - acc_a, acc.cv)
+        delta = tgsw_extern_mul_prepared(temp, limbs_i, l, b)
+        return acc_a + delta.a, None
+
+    out_a, _ = jax.lax.scan(step, accum.a, (bk.limbs, bara_t))
+    return TLweSample(out_a, accum.cv)
+
+
+def mk_blind_rotate_and_extract(v, bk: MKBootstrapKey, barb, bara) -> MKLweSample:
+    """Reference: src/mk_internals.jl:488-495."""
+    testvectbis = polynomial.mul_by_monomial(v, -jnp.asarray(barb, jnp.int32))
+    accum = mk_tlwe_noiseless_trivial(testvectbis, bk.parties)
+    accum = mk_blind_rotate(accum, bk, bara)
+    return mk_tlwe_extract_sample(accum)
+
+
+def mk_bootstrap_wo_keyswitch(bk: MKBootstrapKey, mu, x: MKLweSample) -> MKLweSample:
+    """Reference: src/mk_internals.jl:498-509."""
+    from ..numeric import decode_message
+
+    p_degree = bk.polynomial_degree
+    bara = decode_message(x.a, p_degree * 2)  # [B, parties, n]
+    barb = decode_message(x.b, p_degree * 2)  # [B]
+    testvect = jnp.broadcast_to(
+        jnp.asarray(mu, jnp.int32), x.b.shape + (p_degree,)
+    )
+    return mk_blind_rotate_and_extract(testvect, bk, barb, bara)
+
+
+def mk_bootstrap(bk: MKBootstrapKey, ks_keys, mu, x: MKLweSample) -> MKLweSample:
+    """Reference: src/mk_internals.jl:512-515."""
+    u = mk_bootstrap_wo_keyswitch(bk, mu, x)
+    return mk_keyswitch(ks_keys, u)
