@@ -1,0 +1,45 @@
+"""Encrypted integer circuits: adder + minimum round trips on toy params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tfhe_tpu as tt
+from tfhe_tpu import circuits
+
+
+@pytest.fixture(scope="module")
+def toy_keys():
+    return tt.make_key_pair(jax.random.PRNGKey(123), tt.tfhe_parameters_toy())
+
+
+def test_word_encrypt_roundtrip(toy_keys):
+    sk, _ = toy_keys
+    vals = jnp.asarray([0, 1, 200, 255], jnp.uint32)
+    ct = circuits.encrypt_word(jax.random.PRNGKey(0), sk, vals, 8)
+    got = np.asarray(circuits.decrypt_word(sk, ct))
+    np.testing.assert_array_equal(got, [0, 1, 200, 255])
+
+
+def test_ripple_carry_add(toy_keys):
+    sk, ck = toy_keys
+    a_vals = np.asarray([3, 120, 255, 77], np.uint32)
+    b_vals = np.asarray([5, 200, 1, 178], np.uint32)
+    a = circuits.encrypt_word(jax.random.PRNGKey(1), sk, a_vals, 8)
+    b = circuits.encrypt_word(jax.random.PRNGKey(2), sk, b_vals, 8)
+    out = circuits.ripple_carry_add(ck, a, b)
+    got = np.asarray(circuits.decrypt_word(sk, out))
+    np.testing.assert_array_equal(got, (a_vals + b_vals) % 256)
+
+
+def test_encrypted_minimum(toy_keys):
+    """Tutorial-parity circuit (reference: examples/tutorial.jl, 2017 vs 42)."""
+    sk, ck = toy_keys
+    a_vals = np.asarray([2017, 42], np.uint32)
+    b_vals = np.asarray([42, 2017], np.uint32)
+    a = circuits.encrypt_word(jax.random.PRNGKey(3), sk, a_vals, 16)
+    b = circuits.encrypt_word(jax.random.PRNGKey(4), sk, b_vals, 16)
+    out = circuits.encrypted_minimum(ck, a, b)
+    got = np.asarray(circuits.decrypt_word(sk, out))
+    np.testing.assert_array_equal(got, [42, 42])

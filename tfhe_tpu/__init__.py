@@ -70,6 +70,8 @@ from .gates import (
     gate_mux,
 )
 from . import polynomial
+from . import circuits
+from . import mk
 from .ops import conv
 
 __all__ = [name for name in dir() if not name.startswith("_")]

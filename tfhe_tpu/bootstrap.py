@@ -211,15 +211,25 @@ def blind_rotate_and_extract(v, bk: BootstrapKey, barb, bara) -> LweSample:
 def bootstrap_wo_keyswitch(bk: BootstrapKey, mu, x: LweSample) -> LweSample:
     """LWE(mu) iff phase(x) > 0 else LWE(-mu), in the extracted (N*k)-dim space.
 
-    x: batch [B, n]. Reference: src/bootstrap.jl:69-82.
+    x: any batch shape [..., n] (flattened to one scan batch internally).
+    Reference: src/bootstrap.jl:69-82.
     """
     p_degree = bk.polynomial_degree
-    bara = decode_message(x.a, p_degree * 2)  # [B, n], modulus switch to 2N
-    barb = decode_message(x.b, p_degree * 2)  # [B]
-    testvect = jnp.broadcast_to(
-        jnp.asarray(mu, jnp.int32), x.b.shape + (p_degree,)
+    batch_shape = x.b.shape
+    flat = LweSample(
+        x.a.reshape((-1, x.a.shape[-1])), x.b.reshape(-1), x.cv.reshape(-1)
     )
-    return blind_rotate_and_extract(testvect, bk, barb, bara)
+    bara = decode_message(flat.a, p_degree * 2)  # [B, n], mod switch to 2N
+    barb = decode_message(flat.b, p_degree * 2)  # [B]
+    testvect = jnp.broadcast_to(
+        jnp.asarray(mu, jnp.int32), flat.b.shape + (p_degree,)
+    )
+    out = blind_rotate_and_extract(testvect, bk, barb, bara)
+    return LweSample(
+        out.a.reshape(batch_shape + (out.a.shape[-1],)),
+        out.b.reshape(batch_shape),
+        out.cv.reshape(batch_shape),
+    )
 
 
 def bootstrap(bk: BootstrapKey, ks: KeyswitchKey, mu, x: LweSample) -> LweSample:

@@ -1,0 +1,95 @@
+"""Encrypted integer circuits over batched bootstrapped gates.
+
+Capability parity with the reference's tutorial circuit (encrypted minimum of
+16-bit words via an XNOR/MUX comparator chain, examples/tutorial.jl:42-62)
+plus a ripple-carry adder (BASELINE.md measured config). TPU-shape: a word
+batch is ONE LweSample with batch dims [..., n_words, bits]; each circuit
+stage applies a gate to a [n_words]-batched bit slice, so the MXU batch
+dimension is the word batch while the bit/carry chain is the (inherently
+sequential) Python loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .api import CloudKey, SecretKey, decrypt, encrypt
+from .gates import gate_constant, gate_mux, gate_xnor, gate_xor
+from .lwe import LweSample
+
+
+def int_to_bits(values, bits: int):
+    """int[...] -> bool[..., bits], LSB first. Reference: examples/tutorial.jl:5-7."""
+    values = jnp.asarray(values, jnp.uint32)
+    shifts = jnp.arange(bits, dtype=jnp.uint32)
+    return ((values[..., None] >> shifts) & 1) != 0
+
+
+def bits_to_int(bit_array):
+    """bool[..., bits] -> int[...], LSB first. Reference: examples/tutorial.jl:10-16."""
+    bits = bit_array.shape[-1]
+    weights = jnp.uint32(1) << jnp.arange(bits, dtype=jnp.uint32)
+    return jnp.sum(jnp.asarray(bit_array, jnp.uint32) * weights, axis=-1)
+
+
+def encrypt_word(rng, key: SecretKey, values, bits: int) -> LweSample:
+    """Encrypt int[...] as LweSample with batch [..., bits] (LSB first)."""
+    return encrypt(rng, key, int_to_bits(values, bits))
+
+
+def decrypt_word(key: SecretKey, word: LweSample):
+    """Decrypt a word ciphertext back to int[...]."""
+    return bits_to_int(decrypt(key, word))
+
+
+def _bit(word: LweSample, i: int) -> LweSample:
+    return LweSample(word.a[..., i, :], word.b[..., i], word.cv[..., i])
+
+
+def _stack_bits(bits_list) -> LweSample:
+    return LweSample(
+        jnp.stack([b.a for b in bits_list], axis=-2),
+        jnp.stack([b.b for b in bits_list], axis=-1),
+        jnp.stack([b.cv for b in bits_list], axis=-1),
+    )
+
+
+def compare_bit(ck: CloudKey, a: LweSample, b: LweSample,
+                lsb_carry: LweSample) -> LweSample:
+    """Elementary comparator: if (a == b) return lsb_carry else return b... a.
+
+    Reference: examples/tutorial.jl:44-47 (XNOR then MUX).
+    """
+    tmp = gate_xnor(ck, a, b)
+    return gate_mux(ck, tmp, lsb_carry, a)
+
+
+def encrypted_minimum(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """min(a, b) on word ciphertexts [..., bits]. Reference: examples/tutorial.jl:50-62."""
+    bits = a.b.shape[-1]
+    carry = gate_constant(ck, False, a.b.shape[:-1])
+    for i in range(bits):
+        carry = compare_bit(ck, _bit(a, i), _bit(b, i), carry)
+    # carry == 1 iff b is larger -> select per bit
+    return _stack_bits(
+        [gate_mux(ck, carry, _bit(b, i), _bit(a, i)) for i in range(bits)]
+    )
+
+
+def ripple_carry_add(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """a + b (mod 2^bits) on word ciphertexts [..., bits].
+
+    Full adder per bit: s = a ^ b ^ c; c' = MUX(a ^ b, c, a) — when the
+    inputs differ the carry propagates, otherwise it equals the inputs.
+    """
+    bits = a.b.shape[-1]
+    carry = gate_constant(ck, False, a.b.shape[:-1])
+    out = []
+    for i in range(bits):
+        ai, bi = _bit(a, i), _bit(b, i)
+        axb = gate_xor(ck, ai, bi)
+        out.append(gate_xor(ck, axb, carry))
+        if i + 1 < bits:
+            carry = gate_mux(ck, axb, carry, ai)
+    return _stack_bits(out)
