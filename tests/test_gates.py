@@ -117,3 +117,15 @@ def test_noise_margin(toy_keys):
     assert (np.abs(phase) > 0).all()
     # noise < 1/16 of the torus = 2^28
     assert (err < 2**28).all(), err / 2**32
+
+
+def test_noise_margin_telemetry(toy_keys):
+    """utils.telemetry reports healthy margins for fresh gate outputs."""
+    from tfhe_tpu.utils import telemetry
+
+    sk, ck = toy_keys
+    xs = jnp.asarray([False, True], bool)
+    out = gates.gate_nand(ck, _encrypt_bits(sk, xs, 11), _encrypt_bits(sk, ~xs, 12))
+    report = telemetry.noise_margin(sk, out, expected=[True, True])
+    assert report.failures == 0
+    assert report.healthy()

@@ -175,11 +175,13 @@ def _block_toeplitz_index(n: int, t: int):
     u = np.arange(t)[None, :, None]
     w = np.arange(t)[None, None, :]
     idx = ((d * t + w - u) % (2 * n)).astype(np.int32)
-    # REVERSED-d storage: baked[d'] = block_shift (2M - d') mod 2M. With this
-    # layout the weight window of output block o is the contiguous slice
-    # rows i in [0,o) -> baked[2M-o : 2M], i in [o,M) -> baked[0 : M-o],
-    # which the Pallas matmul kernel consumes with zero copies.
-    return idx[(m2 - np.arange(m2)) % m2]
+    # PERMUTED storage: baked[j] holds block shift (M - 1 - j) mod 2M. With
+    # this layout the weight window of output block o is ONE contiguous,
+    # never-wrapping slice: digit block i pairs with baked[(M-1-o) + i]
+    # (i + M-1-o <= 2M-2 < 2M), which the Pallas matmul kernel consumes as a
+    # single dot operand with zero copies.
+    m = n // t
+    return idx[(m - 1 - np.arange(m2)) % m2]
 
 
 def bake_block_toeplitz(limbs_doubled, t: int, chunk: int = 16):
@@ -202,11 +204,14 @@ def bake_block_toeplitz(limbs_doubled, t: int, chunk: int = 16):
     idx = jnp.asarray(_block_toeplitz_index(n, t).reshape(-1))  # [2M*T*T]
     m2 = 2 * n // t
 
-    def bake_steps(limbs):  # [c, 4, P, K, 2N] -> [c, 2M, P*T, K*4*T]
+    def bake_steps(limbs):  # [c, 4, P, K, 2N] -> [c, 2M*P*T, K*4*T]
         e = jnp.take(limbs, idx, axis=-1)
         e = e.reshape(limbs.shape[:-1] + (m2, t, t))
         e = e.transpose(0, 4, 2, 5, 3, 1, 6)  # [c, 2M, P, T(u), K, 4, T(w)]
-        return e.reshape(limbs.shape[0], m2, p * t, k * 4 * t)
+        # Stored 2D (block rows flattened): weight windows are then plain 2D
+        # row slices, which the Pallas kernel DMAs and feeds to the MXU
+        # without any in-VMEM reshape/copy.
+        return e.reshape(limbs.shape[0], m2 * p * t, k * 4 * t)
 
     if steps <= chunk:
         return bake_steps(limbs_doubled)
@@ -216,7 +221,7 @@ def bake_block_toeplitz(limbs_doubled, t: int, chunk: int = 16):
     out = lax.map(
         lambda x: bake_steps(x),
         limbs_doubled[:main].reshape(steps // chunk, chunk, four, p, k, n2),
-    ).reshape(main, m2, p * t, k * 4 * t)
+    ).reshape(main, m2 * p * t, k * 4 * t)
     if main < steps:
         out = jnp.concatenate([out, bake_steps(limbs_doubled[main:])], axis=0)
     return out
@@ -225,7 +230,7 @@ def bake_block_toeplitz(limbs_doubled, t: int, chunk: int = 16):
 def block_toeplitz_matmul(d_limbs, e_step, t: int):
     """Negacyclic conv against a baked block-Toeplitz operand, exact MAC count.
 
-    d_limbs: [S, B, P, N] int8 digit limbs; e_step: [2M, P*T, K*4*T] int8.
+    d_limbs: [S, B, P, N] int8 digit limbs; e_step: [2M*P*T, K*4*T] int8.
     Returns [S, B, M, K*4*T] int32 (output block o at row o, cols (k, limb, w)).
 
     out[o] = sum_i D[i] @ E[(o - i) mod 2M]; per baked block d the valid
@@ -236,6 +241,7 @@ def block_toeplitz_matmul(d_limbs, e_step, t: int):
     m = n // t
     m2 = 2 * m
     cols = e_step.shape[-1]
+    e_step = e_step.reshape(m2, p * t, cols)
     dl = (
         d_limbs.reshape(s, b, p, m, t)
         .transpose(0, 1, 3, 2, 4)
@@ -243,7 +249,7 @@ def block_toeplitz_matmul(d_limbs, e_step, t: int):
     )
     out = jnp.zeros((s * b, m, cols), jnp.int32)
     for d in range(m2):
-        e_d = e_step[(m2 - d) % m2]  # keys store the REVERSED-d layout
+        e_d = e_step[(m - 1 - d) % m2]  # keys store the PERMUTED-d layout
         if d < m:
             vo = m - d  # o in [d, m), i = o - d in [0, vo)
             lhs = dl[:, 0:vo].reshape(s * b * vo, p * t)

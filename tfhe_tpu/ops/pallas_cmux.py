@@ -3,20 +3,20 @@
 Two kernels per scan step (reference hot loop: src/bootstrap.jl:19-39):
 
 * `rotate_decompose` (VPU): barrel-rotate the accumulator by X^bara, subtract,
-  gadget-decompose, split digit limbs, and store the int8 digits as
-  [S*M, B, P*T] — i-block leading — so every operand the matmul kernel needs
-  is a leading-dim slice (Mosaic supports leading-dim merges/slices freely;
-  lane-dim reshapes are forbidden, which dictates T = 128 = lane width).
-  The barrel runs on clean 2D [BT, 2N] tiles per mask polynomial (full
-  sublane utilization) through a single scratch buffer (bounded VMEM).
+  gadget-decompose, split digit limbs — one pass per mask polynomial on clean
+  2D [BT, 2N] tiles through a single scratch buffer. Digits are stored as
+  [S, B, M*P*T] with the contraction order (i, j, i_l, u) laid out along
+  lanes purely via 128-aligned slice writes (Mosaic forbids lane-splitting
+  reshapes, which dictates T = 128 = lane width).
 
-* `cmux_matmul` (MXU): for each block shift d (static schedule), DMA the
-  baked block-Toeplitz slice (ops/conv.py:bake_block_toeplitz, REVERSED-d
-  layout) from HBM with double buffering, contract the matching contiguous
-  digit window in one exact int8 MXU dot, recombine the 4 limb planes
-  immediately (linear, so recombine-then-accumulate == accumulate-then-
-  recombine) into a small int32 scratch, and emit the CMUX delta. The
-  accumulator add happens in XLA (fuses into the scan cheaply).
+* `cmux_matmul` (MXU): ONE full-contraction int8 dot per output block. The
+  baked key (ops/conv.py:bake_block_toeplitz) stores block shifts in the
+  PERMUTED order baked[j] = shift (M-1-j) mod 2M, which makes output block
+  o's weight window the single contiguous slice baked[M-1-o : 2M-1-o] — so
+  the kernel DMAs one [M*P*T, cols] window per o (persisting across the
+  batch-cell grid), runs one [BT, M*P*T] x [M*P*T, cols] dot, recombines the
+  4 limb planes once, and adds the accumulator slice. Exact MAC count, zero
+  gathers, zero copies.
 
 Both kernels are bit-exact vs the XLA path (ops/conv.py) — asserted by
 tests/test_pallas_cmux.py in interpret mode — hence exact vs the NumPy
@@ -36,16 +36,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _rotate_decompose_kernel(bara_ref, acc_ref, dig_ref, *, n, k1, l, b, t,
                              s_limbs, offset):
-    """Per-tile digits of (X^bara - 1) * acc, int8, layout [S*M, BT, P*T].
+    """Per-tile digits of (X^bara - 1) * acc, int8, layout [S, BT, M*P*T].
 
     bara_ref: [BT, 1] int32; acc_ref: [BT, k1, N] int32;
-    dig_ref: [S*M, BT, P*T] int8 with P = k1 * l, rows (j, i_l, u) per block.
+    dig_ref: [S, BT, M*P*T] int8, lane order (i, j, i_l, u), P = k1 * l.
     """
     shift = jnp.mod(bara_ref[...], 2 * n)  # [BT, 1]
     stages = (2 * n - 1).bit_length()
     mask = jnp.int32((1 << b) - 1)
     half = jnp.int32(1 << (b - 1))
     m = n // t
+    pt = k1 * l * t
 
     def body(scr):
         for j in range(k1):
@@ -64,103 +65,64 @@ def _rotate_decompose_kernel(bara_ref, acc_ref, dig_ref, *, n, k1, l, b, t,
             for i_l in range(l):
                 d = ((shifted >> (32 - (i_l + 1) * b)) & mask) - half
                 for i in range(m):
-                    blk = d[:, i * t : (i + 1) * t]  # [BT, T]
-                    seg = slice((j * l + i_l) * t, (j * l + i_l + 1) * t)
+                    blk = d[:, i * t : (i + 1) * t]  # [BT, T] lane-aligned
+                    seg = slice(i * pt + (j * l + i_l) * t,
+                                i * pt + (j * l + i_l + 1) * t)
                     if s_limbs == 1:
-                        dig_ref[i, :, seg] = blk.astype(jnp.int8)
+                        dig_ref[0, :, seg] = blk.astype(jnp.int8)
                     else:
                         lo = ((blk & 15) ^ 8) - 8
                         hi = (blk - lo) >> 4
-                        dig_ref[i, :, seg] = lo.astype(jnp.int8)
-                        dig_ref[m + i, :, seg] = hi.astype(jnp.int8)
+                        dig_ref[0, :, seg] = lo.astype(jnp.int8)
+                        dig_ref[1, :, seg] = hi.astype(jnp.int8)
 
     pl.run_scoped(body, pltpu.VMEM((acc_ref.shape[0], 2 * n), jnp.int32))
 
 
-def _cmux_matmul_kernel(dig_ref, e_hbm, out_ref, e_buf, out_acc, sem, *,
+def _cmux_matmul_kernel(dig_ref, acc_ref, e_hbm, out_ref, w_buf, sem, *,
                         n, k1, l, b, t, s_limbs, d_shifts):
-    """Per-tile CMUX delta: out = recombine(digits (x) E'), exact mod 2^32.
+    """Per-(o, cell) CMUX output block: out = acc + recombine(digits (x) W_o).
 
-    dig_ref: [S*M, BT, P*T] int8 (VMEM); e_hbm: [2M, P*T, k1*4*T] int8 (HBM,
-    streamed); out_ref: [BT, k1, N] int32; e_buf: VMEM scratch
-    [2, P*T, k1*4*T] int8; out_acc: VMEM scratch [M, BT, k1*T] int32;
-    sem: DMA semaphores [2].
+    dig_ref: [S, BT, M*P*T] int8 (VMEM); acc_ref/out_ref: [BT, k1, T] int32
+    (the o-th column block); e_hbm: [2M*P*T, k1*4*T] int8 (HBM, PERMUTED-d,
+    2D); w_buf: VMEM scratch [M*P*T, k1*4*T] int8 (persists across the cell
+    grid dim — reloaded only when o changes); sem: DMA semaphore.
     """
     m = n // t
-    m2 = 2 * m
-    bt = out_ref.shape[0]
+    bt = acc_ref.shape[0]
+    pt_row = dig_ref.shape[-1]  # M*P*T
+    pt = pt_row // m
 
-    # Static schedule (d, i0, i1, oshift): digit blocks i in [i0, i1) paired
-    # with output blocks o = i + oshift; exact MAC count (see
-    # ops/conv.py:block_toeplitz_matmul). The widest window (d = 0) is split
-    # in half to bound the transient int32 product at (M/2)*BT*cols words.
-    sched = []
-    for d in range(m2):
-        if d == 0:
-            sched.append((0, 0, m // 2, 0))
-            sched.append((0, m // 2, m, 0))
-        elif d < m:
-            sched.append((d, 0, m - d, d))
-        elif d > m:
-            sched.append((d, m2 - d, m, d - m2))
+    o = pl.program_id(0)
+    c = pl.program_id(1)
 
-    def e_slot(d):
-        # e_hbm stores REVERSED-d: E'[d'] = E[(2M - d') % 2M]
-        return (m2 - d) % m2
+    @pl.when(c == 0)
+    def _load_window():
+        start = ((m - 1) - o) * pt  # contiguous rows, never wraps
+        cp = pltpu.make_async_copy(
+            e_hbm.at[pl.ds(start, m * pt)], w_buf, sem
+        )
+        cp.start()
+        cp.wait()
 
-    out_acc[...] = jnp.zeros_like(out_acc)
+    rec = None
+    for s in range(s_limbs):
+        prod = lax.dot_general(
+            dig_ref[s], w_buf[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [BT, k1*4*T]
+        if d_shifts[s]:
+            prod = prod << d_shifts[s]
+        rec = prod if rec is None else rec + prod
 
-    # Walk distinct d values with double-buffered weight DMA.
-    distinct = []
-    for entry in sched:
-        if not distinct or distinct[-1][0] != entry[0]:
-            distinct.append([entry[0], [entry]])
-        else:
-            distinct[-1][1].append(entry)
-
-    pltpu.make_async_copy(
-        e_hbm.at[e_slot(distinct[0][0])], e_buf.at[0], sem.at[0]
-    ).start()
-    for di, (d, entries) in enumerate(distinct):
-        if di + 1 < len(distinct):
-            pltpu.make_async_copy(
-                e_hbm.at[e_slot(distinct[di + 1][0])],
-                e_buf.at[(di + 1) % 2],
-                sem.at[(di + 1) % 2],
-            ).start()
-        pltpu.make_async_copy(
-            e_hbm.at[e_slot(d)], e_buf.at[di % 2], sem.at[di % 2]
-        ).wait()
-        w = e_buf[di % 2]
-        for (_, i0, i1, oshift) in entries:
-            win = i1 - i0
-            for s in range(s_limbs):
-                lhs = dig_ref[s * m + i0 : s * m + i1]  # [win, BT, P*T]
-                lhs = lhs.reshape(win * bt, lhs.shape[-1])
-                prod = lax.dot_general(
-                    lhs, w, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )  # [win*BT, k1*4*T]
-                # Recombine limb planes eagerly (linear in the partial sums).
-                for k in range(k1):
-                    rec = prod[:, (k * 4) * t : (k * 4 + 1) * t]
-                    for limb in range(1, 4):
-                        rec = rec + (
-                            prod[:, (k * 4 + limb) * t : (k * 4 + limb + 1) * t]
-                            << (8 * limb)
-                        )
-                    if d_shifts[s]:
-                        rec = rec << d_shifts[s]
-                    o0 = i0 + oshift
-                    sl = slice(k * t, (k + 1) * t)
-                    out_acc[o0 : o0 + win, :, sl] = (
-                        out_acc[o0 : o0 + win, :, sl]
-                        + rec.reshape(win, bt, t)
-                    )
-
-    for o in range(m):
-        for k in range(k1):
-            out_ref[:, k, o * t : (o + 1) * t] = out_acc[o, :, k * t : (k + 1) * t]
+    for k in range(k1):
+        acc_k = rec[:, (k * 4) * t : (k * 4 + 1) * t]
+        for limb in range(1, 4):
+            acc_k = acc_k + (
+                rec[:, (k * 4 + limb) * t : (k * 4 + limb + 1) * t]
+                << (8 * limb)
+            )
+        out_ref[:, k, :] = acc_ref[:, k, :] + acc_k
 
 
 def _pick_tile(b_sz: int, target: int) -> int:
@@ -168,6 +130,12 @@ def _pick_tile(b_sz: int, target: int) -> int:
     while b_sz % bt:
         bt -= 1
     return bt
+
+
+def _env_tile(name: str, default: int) -> int:
+    import os
+
+    return int(os.environ.get(name, default))
 
 
 @functools.partial(
@@ -179,7 +147,7 @@ def cmux_step_pallas(acc, e_step, bara, *, n, k1, l, b, t, s_limbs, d_shifts,
                      offset, interpret=False):
     """One fused CMUX step: acc += BK_i (x) [(X^bara - 1) * acc].
 
-    acc: int32[B, k1, N]; e_step: int8[2M, P*T, k1*4*T] (reversed-d baked);
+    acc: int32[B, k1, N]; e_step: int8[2M, P*T, k1*4*T] (permuted-d baked);
     bara: int32[B]. Bit-exact vs the XLA path (mux_rotate_baked).
     """
     b_sz = acc.shape[0]
@@ -189,26 +157,26 @@ def cmux_step_pallas(acc, e_step, bara, *, n, k1, l, b, t, s_limbs, d_shifts,
     pt = p * t
     cols = k1 * 4 * t
 
-    bt_a = _pick_tile(b_sz, 128)
+    bt_a = _pick_tile(b_sz, _env_tile("TFHE_TPU_BTA", 128))
     rot_fn = functools.partial(
         _rotate_decompose_kernel,
         n=n, k1=k1, l=l, b=b, t=t, s_limbs=s_limbs, offset=offset,
     )
     digits = pl.pallas_call(
         rot_fn,
-        out_shape=jax.ShapeDtypeStruct((s_limbs * m, b_sz, pt), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((s_limbs, b_sz, m * pt), jnp.int8),
         grid=(b_sz // bt_a,),
         in_specs=[
             pl.BlockSpec((bt_a, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt_a, k1, n), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((s_limbs * m, bt_a, pt), lambda c: (0, c, 0),
+        out_specs=pl.BlockSpec((s_limbs, bt_a, m * pt), lambda c: (0, c, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(bara.reshape(b_sz, 1), acc)
 
-    bt_b = _pick_tile(b_sz, 256)
+    bt_b = _pick_tile(b_sz, _env_tile("TFHE_TPU_BTB", 256))
     mm_fn = functools.partial(
         _cmux_matmul_kernel,
         n=n, k1=k1, l=l, b=b, t=t, s_limbs=s_limbs, d_shifts=d_shifts,
@@ -216,19 +184,20 @@ def cmux_step_pallas(acc, e_step, bara, *, n, k1, l, b, t, s_limbs, d_shifts,
     delta = pl.pallas_call(
         mm_fn,
         out_shape=jax.ShapeDtypeStruct((b_sz, k1, n), jnp.int32),
-        grid=(b_sz // bt_b,),
+        grid=(m, b_sz // bt_b),
         in_specs=[
-            pl.BlockSpec((s_limbs * m, bt_b, pt), lambda c: (0, c, 0),
+            pl.BlockSpec((s_limbs, bt_b, m * pt), lambda o, c: (0, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt_b, k1, t), lambda o, c: (c, 0, o),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # E stays in HBM, streamed
         ],
-        out_specs=pl.BlockSpec((bt_b, k1, n), lambda c: (c, 0, 0),
+        out_specs=pl.BlockSpec((bt_b, k1, t), lambda o, c: (c, 0, o),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, pt, cols), jnp.int8),
-            pltpu.VMEM((m, bt_b, k1 * t), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((m * pt, cols), jnp.int8),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(digits, e_step)
-    return acc + delta
+    )(digits, acc, e_step)
+    return delta

@@ -1,5 +1,6 @@
 """Auxiliary subsystems: serialization, telemetry."""
 
 from . import serialization
+from . import telemetry
 
-__all__ = ["serialization"]
+__all__ = ["serialization", "telemetry"]
