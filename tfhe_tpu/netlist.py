@@ -1,0 +1,269 @@
+"""Gate netlists: build encrypted boolean circuits, schedule, batch-execute.
+
+The execution model that makes TFHE fast on TPU is BATCHING: every
+bootstrapped gate call should carry as many independent gates as possible.
+This module turns an arbitrary netlist into maximal batches — gates are
+levelized (topological) and same-type gates within a level are grouped, so
+the executor issues ONE batched gate call per (level, type) group.
+
+Scheduling is control-plane CPU work; for realistic circuits (millions of
+gates) it runs in the native C++ scheduler (native/circuit_scheduler.cc,
+built on demand, loaded via ctypes) with a pure-Python fallback kept
+behaviorally identical (differentially tested).
+
+No reference analogue: the reference evaluates gates one at a time in user
+code (examples/tutorial.jl:50-62).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import os
+import subprocess
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import gates as gate_lib
+from .api import CloudKey
+from .lwe import LweSample
+
+# Gate type ids (batch keys). MUX is 3-input; NOT/CONST are cheap specials.
+GATE_TYPES = (
+    "nand", "and", "or", "xor", "xnor", "nor",
+    "andny", "andyn", "orny", "oryn", "mux", "not",
+)
+_TYPE_ID = {name: i for i, name in enumerate(GATE_TYPES)}
+_GATE_FN = {
+    "nand": gate_lib.gate_nand, "and": gate_lib.gate_and,
+    "or": gate_lib.gate_or, "xor": gate_lib.gate_xor,
+    "xnor": gate_lib.gate_xnor, "nor": gate_lib.gate_nor,
+    "andny": gate_lib.gate_andny, "andyn": gate_lib.gate_andyn,
+    "orny": gate_lib.gate_orny, "oryn": gate_lib.gate_oryn,
+}
+
+
+class Circuit:
+    """A boolean circuit over wire ids.
+
+    new_wire()/input() allocate wires; gate methods (nand, xor, mux, ...)
+    append gates and return the output wire. compile() produces a batched
+    Schedule; Schedule.run() executes it over encrypted inputs.
+    """
+
+    def __init__(self):
+        self.n_wires = 0
+        self.gate_type: list[int] = []
+        self.fanin: list[tuple[int, int, int]] = []
+        self.out_wire: list[int] = []
+
+    def new_wire(self) -> int:
+        self.n_wires += 1
+        return self.n_wires - 1
+
+    def input(self) -> int:
+        return self.new_wire()
+
+    def inputs(self, n: int) -> list[int]:
+        return [self.new_wire() for _ in range(n)]
+
+    def _gate(self, name: str, ins: tuple) -> int:
+        out = self.new_wire()
+        padded = tuple(ins) + (-1,) * (3 - len(ins))
+        self.gate_type.append(_TYPE_ID[name])
+        self.fanin.append(padded)
+        self.out_wire.append(out)
+        return out
+
+    def __getattr__(self, name):
+        # two-input gate methods: circ.nand(a, b), circ.xor(a, b), and the
+        # keyword-safe aliases circ.and_/or_(a, b)
+        if name == "mux" or name == "not_":
+            raise AttributeError(name)
+        base = name.rstrip("_")
+        if base in _TYPE_ID and base not in ("mux", "not"):
+            return lambda a, b: self._gate(base, (a, b))
+        raise AttributeError(name)
+
+    def mux(self, sel: int, a: int, b: int) -> int:
+        """sel ? a : b (reference: src/gates.jl:163-177)."""
+        return self._gate("mux", (sel, a, b))
+
+    def not_(self, a: int) -> int:
+        return self._gate("not", (a,))
+
+    def compile(self, use_native: Optional[bool] = None) -> "Schedule":
+        n_gates = len(self.gate_type)
+        gtype = np.asarray(self.gate_type, np.int32)
+        fanin = np.asarray(self.fanin, np.int32).reshape(n_gates, 3)
+        outw = np.asarray(self.out_wire, np.int32)
+        if use_native is None:
+            use_native = _native_lib() is not None
+        if use_native:
+            sched = _schedule_native(n_gates, gtype, fanin, outw, self.n_wires)
+        else:
+            sched = _schedule_python(n_gates, gtype, fanin, outw, self.n_wires)
+        order, starts, types, levels = sched
+        return Schedule(self, order, starts, types, levels)
+
+
+def _native_path() -> str:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(root, "native", "build", "libtfhe_circuit.so")
+
+
+_LIB = None
+
+
+def _native_lib():
+    """Load (building on demand) the C++ scheduler; None if unavailable."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB or None
+    path = _native_path()
+    if not os.path.exists(path):
+        src_dir = os.path.dirname(os.path.dirname(path))
+        try:
+            subprocess.run(["make", "-C", src_dir], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            _LIB = False
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.tfhe_schedule_circuit.restype = ctypes.c_int32
+        _LIB = lib
+    except OSError:
+        _LIB = False
+        return None
+    return _LIB
+
+
+def _schedule_native(n_gates, gtype, fanin, outw, n_wires):
+    lib = _native_lib()
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    order = np.zeros(n_gates, np.int32)
+    starts = np.zeros(n_gates + 1, np.int32)
+    types = np.zeros(max(n_gates, 1), np.int32)
+    levels = np.zeros(max(n_gates, 1), np.int32)
+    nb = np.zeros(1, np.int32)
+    lib.tfhe_schedule_circuit.argtypes = [
+        ctypes.c_int32, i32p, i32p, i32p, ctypes.c_int32,
+        i32p, i32p, i32p, i32p, i32p,
+    ]
+    rc = lib.tfhe_schedule_circuit(
+        n_gates, np.ascontiguousarray(gtype),
+        np.ascontiguousarray(fanin.reshape(-1)),
+        np.ascontiguousarray(outw), n_wires,
+        order, starts, types, levels, nb,
+    )
+    if rc != 0:
+        raise ValueError(f"circuit scheduling failed (rc={rc}: "
+                         f"{'cycle' if rc == -1 else 'invalid netlist'})")
+    n = int(nb[0])
+    return order, starts[: n + 1], types[:n], levels[:n]
+
+
+def _schedule_python(n_gates, gtype, fanin, outw, n_wires):
+    """Reference scheduler (identical batching semantics to the C++ one)."""
+    writer = np.full(n_wires, -1, np.int64)
+    writer[outw] = np.arange(n_gates)
+    deps = np.zeros(n_gates, np.int64)
+    consumers: list[list[int]] = [[] for _ in range(n_gates)]
+    for g in range(n_gates):
+        for w in fanin[g]:
+            if w >= 0 and writer[w] >= 0:
+                deps[g] += 1
+                consumers[writer[w]].append(g)
+    frontier = [g for g in range(n_gates) if deps[g] == 0]
+    order, starts, types, levels = [], [0], [], []
+    lv = 0
+    scheduled = 0
+    while frontier:
+        by_type: dict[int, list[int]] = {}
+        for g in sorted(frontier):
+            by_type.setdefault(int(gtype[g]), []).append(g)
+        for ty in sorted(by_type):
+            order.extend(by_type[ty])
+            starts.append(len(order))
+            types.append(ty)
+            levels.append(lv)
+        nxt = []
+        for g in frontier:
+            scheduled += 1
+            for c in consumers[g]:
+                deps[c] -= 1
+                if deps[c] == 0:
+                    nxt.append(c)
+        frontier = nxt
+        lv += 1
+    if scheduled != n_gates:
+        raise ValueError("circuit scheduling failed (rc=-1: cycle)")
+    return (np.asarray(order, np.int32), np.asarray(starts, np.int32),
+            np.asarray(types, np.int32), np.asarray(levels, np.int32))
+
+
+@dataclasses.dataclass
+class Schedule:
+    """Compiled batched execution plan for a Circuit."""
+
+    circuit: Circuit
+    gate_order: np.ndarray
+    batch_start: np.ndarray
+    batch_type: np.ndarray
+    batch_level: np.ndarray
+
+    @property
+    def n_batches(self) -> int:
+        return len(self.batch_type)
+
+    def run(self, ck: CloudKey, inputs: dict[int, LweSample],
+            batch_shape=()) -> dict[int, LweSample]:
+        """Execute over encrypted inputs: {wire: LweSample[batch_shape]}.
+
+        Returns the ciphertext for every wire. Each scheduled batch issues
+        ONE batched gate call over (batch_shape x gates_in_batch).
+        """
+        circ = self.circuit
+        n = ck.params.lwe_size
+        # wire state as one stacked LweSample [*batch, n_wires, n]
+        a = jnp.zeros(batch_shape + (circ.n_wires, n), jnp.int32)
+        b = jnp.zeros(batch_shape + (circ.n_wires,), jnp.int32)
+        cv = jnp.zeros(batch_shape + (circ.n_wires,), jnp.float32)
+        for w, ct in inputs.items():
+            a = a.at[..., w, :].set(ct.a)
+            b = b.at[..., w].set(ct.b)
+            cv = cv.at[..., w].set(ct.cv)
+
+        fanin = np.asarray(circ.fanin, np.int32)
+        outw = np.asarray(circ.out_wire, np.int32)
+
+        for bi in range(self.n_batches):
+            lo, hi = int(self.batch_start[bi]), int(self.batch_start[bi + 1])
+            gsel = self.gate_order[lo:hi]
+            ty = GATE_TYPES[int(self.batch_type[bi])]
+            ins = fanin[gsel]
+            outs = outw[gsel]
+
+            def pick(col):
+                idx = ins[:, col]
+                return LweSample(a[..., idx, :], b[..., idx], cv[..., idx])
+
+            if ty == "not":
+                res = gate_lib.gate_not(ck, pick(0))
+            elif ty == "mux":
+                res = gate_lib.gate_mux(ck, pick(0), pick(1), pick(2))
+            else:
+                res = _GATE_FN[ty](ck, pick(0), pick(1))
+            a = a.at[..., outs, :].set(res.a)
+            b = b.at[..., outs].set(res.b)
+            cv = cv.at[..., outs].set(res.cv)
+
+        return LweSample(a, b, cv)
+
+    def wire(self, state: LweSample, w) -> LweSample:
+        """Extract wire(s) w from the run() output state."""
+        w = np.asarray(w)
+        return LweSample(state.a[..., w, :], state.b[..., w], state.cv[..., w])
