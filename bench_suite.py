@@ -1,0 +1,152 @@
+"""Extended benchmark suite: the BASELINE.md measured configurations.
+
+Prints one JSON line per config (the driver's headline metric stays in
+bench.py). Configs (BASELINE.md "Measured configs"):
+  1. single NAND latency, 80-bit (tutorial) params
+  2. full gate set, decrypt-verified (keyswitch path exercised per gate)
+  3. 4096-gate batched NAND bootstrap throughput, 128-bit params
+  4. 8-bit ripple-carry adder throughput (words/sec)
+  5. 2-party multi-key NAND throughput
+
+Env: TFHE_SUITE_SMALL=1 shrinks batches for CPU smoke runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(metric, value, unit, extra=None):
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tfhe_tpu as tt
+    import tfhe_tpu.mk as mk
+    from tfhe_tpu import circuits, gates
+
+    small = bool(int(os.environ.get("TFHE_SUITE_SMALL", "0")))
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and not small:
+        log("not on TPU; forcing TFHE_SUITE_SMALL=1")
+        small = True
+
+    # --- 1+2: 80-bit keygen, single NAND latency, full gate set ---
+    p80 = tt.tfhe_parameters_toy() if small else tt.tfhe_parameters_80()
+    sk, ck = jax.jit(tt.make_key_pair, static_argnums=1)(
+        jax.random.PRNGKey(123), p80
+    )
+    jax.block_until_ready(ck.bootstrap_key.baked)
+
+    one_x = tt.encrypt(jax.random.PRNGKey(1), sk, jnp.asarray([True]))
+    one_y = tt.encrypt(jax.random.PRNGKey(2), sk, jnp.asarray([False]))
+    nand1 = jax.jit(gates.gate_nand)
+    out = nand1(ck, one_x, one_y)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    reps = 5
+    for _ in range(reps):
+        out = nand1(ck, out, one_y)
+    jax.block_until_ready(out)
+    emit("single_nand_latency_80bit", (time.time() - t0) / reps * 1e3, "ms")
+
+    xs = jnp.asarray([False, False, True, True])
+    ys = jnp.asarray([False, True, False, True])
+    cx = tt.encrypt(jax.random.PRNGKey(3), sk, xs)
+    cy = tt.encrypt(jax.random.PRNGKey(4), sk, ys)
+    table = {
+        gates.gate_nand: lambda x, y: ~(x & y), gates.gate_and: lambda x, y: x & y,
+        gates.gate_or: lambda x, y: x | y, gates.gate_xor: lambda x, y: x ^ y,
+        gates.gate_xnor: lambda x, y: ~(x ^ y), gates.gate_nor: lambda x, y: ~(x | y),
+        gates.gate_andny: lambda x, y: ~x & y, gates.gate_andyn: lambda x, y: x & ~y,
+        gates.gate_orny: lambda x, y: ~x | y, gates.gate_oryn: lambda x, y: x | ~y,
+    }
+    ok = 0
+    for fn, ref in table.items():
+        got = np.asarray(tt.decrypt(sk, fn(ck, cx, cy)))
+        ok += int((got == np.asarray(ref(xs, ys))).all())
+    emit("gate_set_correct", ok, f"/{len(table)} gates")
+
+    # --- 3: batched NAND throughput, 128-bit ---
+    p128 = tt.tfhe_parameters_toy() if small else tt.tfhe_parameters_128()
+    sk2, ck2 = jax.jit(tt.make_key_pair, static_argnums=1)(
+        jax.random.PRNGKey(7), p128
+    )
+    jax.block_until_ready(ck2.bootstrap_key.baked)
+    B = 64 if small else 4096
+    bx = tt.encrypt(jax.random.PRNGKey(8), sk2, jnp.arange(B) % 2 == 0)
+    by = tt.encrypt(jax.random.PRNGKey(9), sk2, jnp.arange(B) % 3 == 0)
+    nand = jax.jit(gates.gate_nand)
+    out = nand(ck2, bx, by); jax.block_until_ready(out)
+    iters = 2 if small else 4
+    t0 = time.time()
+    for _ in range(iters):
+        out = nand(ck2, out, by)
+    jax.block_until_ready(out)
+    emit("batched_nand_throughput_128bit", B * iters / (time.time() - t0),
+         "gates/s", {"batch": B})
+
+    # --- 4: 8-bit ripple-carry adder ---
+    W = 8 if small else 512
+    av = jnp.arange(W, dtype=jnp.uint32) % 251
+    bv = (jnp.arange(W, dtype=jnp.uint32) * 7) % 253
+    ca = circuits.encrypt_word(jax.random.PRNGKey(10), sk2, av, 8)
+    cb = circuits.encrypt_word(jax.random.PRNGKey(11), sk2, bv, 8)
+    add = jax.jit(circuits.ripple_carry_add)
+    out = add(ck2, ca, cb); jax.block_until_ready(out)
+    t0 = time.time()
+    out = add(ck2, out, cb)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    got = np.asarray(circuits.decrypt_word(sk2, out))
+    want = np.asarray((av + 2 * bv) % 256)
+    emit("adder8_words_per_sec", W / dt, "adds/s",
+         {"correct": bool((got == want).all())})
+
+    # --- 5: 2-party MK NAND ---
+    pmk = mk.mktfhe_parameters_toy(2) if small else mk.mktfhe_parameters_2party()
+    r = jax.random.PRNGKey(21)
+    r_sh, r_e, ra, rb = jax.random.split(r, 4)
+    shared = mk.make_shared_key(r_sh, pmk)
+    sks, parts = [], []
+    for rr in (ra, rb):
+        r_sk, r_part = jax.random.split(rr)
+        s = tt.make_secret_key(r_sk, pmk)
+        sks.append(s)
+        parts.append(mk.make_cloud_key_part(r_part, s, shared))
+    t0 = time.time()
+    mck = mk.make_mk_cloud_key(parts)
+    jax.block_until_ready(mck.bootstrap_key.limbs)
+    log(f"mk expansion: {time.time() - t0:.1f}s")
+    Bm = 4 if small else 256
+    m1 = jnp.arange(Bm) % 2 == 0
+    e1 = mk.mk_encrypt(jax.random.PRNGKey(22), sks, m1)
+    e2 = mk.mk_encrypt(jax.random.PRNGKey(23), sks, ~m1)
+    mknand = jax.jit(mk.mk_gate_nand)
+    out = mknand(mck, e1, e2); jax.block_until_ready(out)
+    t0 = time.time()
+    out = mknand(mck, out, e2)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    dec = np.asarray(mk.mk_decrypt(sks, out))
+    want = ~(np.asarray(~(m1 & ~m1)) & np.asarray(~m1))
+    emit("mk2_nand_throughput", Bm / dt, "gates/s",
+         {"batch": Bm, "correct": bool((dec == want).all())})
+
+
+if __name__ == "__main__":
+    main()

@@ -41,26 +41,34 @@ def _rotate_decompose_kernel(bara_ref, acc_ref, dig_ref, *, n, k1, l, b, t,
     bara_ref: [BT, 1] int32; acc_ref: [BT, k1, N] int32;
     dig_ref: [S, BT, M*P*T] int8, lane order (i, j, i_l, u), P = k1 * l.
     """
-    shift = jnp.mod(bara_ref[...], 2 * n)  # [BT, 1]
-    stages = (2 * n - 1).bit_length()
+    shift2 = jnp.mod(bara_ref[...], 2 * n)  # [BT, 1] in [0, 2N)
+    shift1 = shift2 & (n - 1)  # rotation within one period
+    wrap = shift2 >= n  # [BT, 1] bool: X^N = -1 half-period flip
+    stages = (n - 1).bit_length()
     mask = jnp.int32((1 << b) - 1)
     half = jnp.int32(1 << (b - 1))
     m = n // t
     pt = k1 * l * t
+    bt = acc_ref.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
 
     def body(scr):
         for j in range(k1):
             row = acc_ref[:, j, :]  # [BT, N]
-            # In-place barrel rotation of the doubled row through one scratch
-            # buffer — an unrolled stage chain would keep ~stages live
-            # 2N-wide temporaries and blow the 16 MB VMEM budget.
-            scr[...] = jnp.concatenate([row, -row], axis=-1)  # [BT, 2N]
+            # Half-width barrel: rotate within one N-period (log2 N stages on
+            # [BT, N] instead of log2 2N on [BT, 2N] — ~55% less VPU traffic)
+            # then apply the negacyclic sign: out[r] = +-row[(r - s) mod N]
+            # with -1 iff (r >= s mod N) XOR (s < N). In-place through one
+            # scratch buffer to bound VMEM.
+            scr[...] = row
             for s in range(stages):
                 cur = scr[...]
                 rolled = pltpu.roll(cur, 1 << s, axis=1)
-                take = (shift >> s) & 1
+                take = (shift1 >> s) & 1
                 scr[...] = jnp.where(take != 0, rolled, cur)
-            shifted = scr[:, :n] - row + jnp.int32(offset)
+            flip = (col >= shift1) ^ (~wrap)  # [BT, N]
+            rotated = jnp.where(flip, -scr[...], scr[...])
+            shifted = rotated - row + jnp.int32(offset)
 
             for i_l in range(l):
                 d = ((shifted >> (32 - (i_l + 1) * b)) & mask) - half
@@ -76,7 +84,7 @@ def _rotate_decompose_kernel(bara_ref, acc_ref, dig_ref, *, n, k1, l, b, t,
                         dig_ref[0, :, seg] = lo.astype(jnp.int8)
                         dig_ref[1, :, seg] = hi.astype(jnp.int8)
 
-    pl.run_scoped(body, pltpu.VMEM((acc_ref.shape[0], 2 * n), jnp.int32))
+    pl.run_scoped(body, pltpu.VMEM((bt, n), jnp.int32))
 
 
 def _cmux_matmul_kernel(dig_ref, acc_ref, e_hbm, out_ref, w_buf, sem, *,
