@@ -82,6 +82,9 @@ def main():
     emit("gate_set_correct", ok, f"/{len(table)} gates")
 
     # --- 3: batched NAND throughput, 128-bit ---
+    # free the 80-bit key material first (4.2 GB baked key; holding both
+    # presets' keys plus bake temporaries exhausts a 16 GB chip)
+    del ck, sk, cx, cy, one_x, one_y, out
     p128 = tt.tfhe_parameters_toy() if small else tt.tfhe_parameters_128()
     sk2, ck2 = jax.jit(tt.make_key_pair, static_argnums=1)(
         jax.random.PRNGKey(7), p128
@@ -118,6 +121,7 @@ def main():
          {"correct": bool((got == want).all())})
 
     # --- 5: 2-party MK NAND ---
+    del ck2, sk2, bx, by, ca, cb, out
     pmk = mk.mktfhe_parameters_toy(2) if small else mk.mktfhe_parameters_2party()
     r = jax.random.PRNGKey(21)
     r_sh, r_e, ra, rb = jax.random.split(r, 4)
@@ -132,7 +136,7 @@ def main():
     mck = mk.make_mk_cloud_key(parts)
     jax.block_until_ready(mck.bootstrap_key.limbs)
     log(f"mk expansion: {time.time() - t0:.1f}s")
-    Bm = 4 if small else 256
+    Bm = 4 if small else 64  # MK uses the unbaked path (gathers) this round
     m1 = jnp.arange(Bm) % 2 == 0
     e1 = mk.mk_encrypt(jax.random.PRNGKey(22), sks, m1)
     e2 = mk.mk_encrypt(jax.random.PRNGKey(23), sks, ~m1)

@@ -11,7 +11,6 @@ Usage: python examples/multikey.py [--production]
 import sys
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 import tfhe_tpu as tt

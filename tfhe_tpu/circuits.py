@@ -11,7 +11,6 @@ sequential) Python loop.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .api import CloudKey, SecretKey, decrypt, encrypt

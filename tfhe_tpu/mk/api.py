@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from ..api import SecretKey
 from ..keyswitch import KeyswitchKey, keyswitch_key_gen
-from ..lwe import lwe_key_gen
 from ..numeric import dtot32, encode_message, rand_uniform_torus32
 from ..params import SchemeParameters
 from ..tlwe import tlwe_key_gen

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import polynomial
-from ..keyswitch import KeyswitchKey, keyswitch
+from ..keyswitch import keyswitch
 from ..lwe import LweSample
 from ..numeric import dtot32, rand_uniform_bool, rand_uniform_torus32
 from ..ops import conv
@@ -397,8 +397,6 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara) -> TLweSample:
     Reference: src/mk_internals.jl:473-485 (branchless equivalence as in the
     single-key path, SURVEY.md section 2 item 3).
     """
-    from ..bootstrap import mux_rotate
-
     l, b = bk.decomp_length, bk.log2_base
     steps = bk.parties * bk.lwe_size
     bara_flat = jnp.asarray(bara, jnp.int32).reshape(

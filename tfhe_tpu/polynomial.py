@@ -9,8 +9,6 @@ Exact products live in ops/conv.py.
 
 from __future__ import annotations
 
-import functools
-
 import jax.numpy as jnp
 
 

@@ -15,7 +15,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .params import SchemeParameters
 from .tlwe import TLweSample, tlwe_encrypt_zero, tlwe_encrypt_zero_core
 from .ops import conv
 
