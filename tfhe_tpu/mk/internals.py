@@ -197,12 +197,17 @@ def mk_tgsw_encrypt_core(message, r, c1, f1, noise_c0, noise_d0, noise_d1,
         flat = polys.reshape((-1, 1, n))
         return conv.poly_mul_batched_torus(flat, tlwe_key).reshape(polys.shape)
 
-    # r * t for t in {shared_a, pk_b}: batched pairwise conv — Toeplitz of
-    # the small binary operand r against each torus poly.
-    def r_conv(torus_polys):  # [..., l, N] broadcast of [l, N]
-        rb = jnp.broadcast_to(r[..., None, :], batch + (l, n))
-        tb = jnp.broadcast_to(torus_polys, batch + (l, n))
-        return conv.negacyclic_mul(rb, tb)
+    # r * t for t in {shared_a, pk_b}: the l torus polys are SHARED across
+    # the batch while the binary r varies, so this is exactly the
+    # shared-torus MXU contraction (digits = r, one 1-bit limb) — the
+    # per-pair Toeplitz of negacyclic_mul would materialize batch*l NxN
+    # matrices (8+ GB at production sizes).
+    def r_conv(torus_polys):  # torus_polys: [l, N] shared
+        flat_r = r.reshape((-1, 1, n))  # [B', P=1, N]
+        prods = conv.poly_mul_batched_small(
+            flat_r, torus_polys[None], 1
+        )  # [B', l, N]
+        return prods.reshape(batch + (l, n))
 
     c0 = noise_c0 + s_mul(c1) + const_mg
     d1 = noise_d1 + r_conv(shared_a) + const_mg
@@ -267,24 +272,19 @@ def mk_tgsw_expand(ue: MKTGswUESample, party: int, pk_bs,
 
     diff = pk_bs[:, None] - pk_bs[None, :]  # [i, party', l, N]
     dec = decompose(diff[:, party], decomp_length, log2_base)
-    # dec: [parties(i), l(j), l(dec), N]
-    # sum_dec conv(dec[i, j, dec], f{0,1}[dec]) for every (i, j): a
-    # digits [parties*l, l_dec, N] x [l_dec, 2, N] contraction; f0/f1 depend
-    # on the UE batch element, so vmap over the batch.
-    def one(ue_cd, dg):
-        # ue_cd: [6, l, N]; dg: [parties, l(j), l_dec, N]
-        f0 = ue_cd[4]
-        f1 = ue_cd[5]
-        t = jnp.stack([f0, f1], axis=1)  # [l_dec, 2, N]
-        flat = dg.reshape(parties * l, decomp_length, n)
-        prods = conv.poly_mul_batched_small(flat, t, log2_base - 1)
-        return prods.reshape(parties, l, 2, n)  # [i, j, {x,y}, N]
-
-    flat_ue = ue.cd.reshape((-1, 6, l, n))
-    adds = jax.vmap(one, in_axes=(0, None))(flat_ue, dec)
-    adds = adds.reshape(batch + (parties, l, 2, n))
-    x_add = jnp.moveaxis(adds[..., 0, :], -3, -2)  # [..., l(j), parties, N]
-    y_add = jnp.moveaxis(adds[..., 1, :], -3, -2)
+    # dec: [parties(i), l(j), l(dec), N] — SHARED across the UE batch (it
+    # only depends on public keys), while f0/f1 vary per uni-encryption: so
+    # the contraction sum_dec conv(dec[i, j, dec], f{0,1}[dec]) is one
+    # multi-output shared-small-operand matmul (a single [P*N, K*N] Toeplitz
+    # of the digits; materializing per-element operands instead OOMs at
+    # production sizes).
+    f01 = jnp.stack([ue.f0, ue.f1], axis=-3)  # [..., 2, l_dec, N]
+    flat_f = f01.reshape((-1, decomp_length, n))  # [B*2, l_dec, N]
+    s_shared = dec.reshape(parties * l, decomp_length, n)  # [K=(i,j), l_dec, N]
+    adds = conv.poly_mul_batched_torus_multi(flat_f, s_shared)
+    adds = adds.reshape(batch + (2, parties, l, n))  # [..., {x,y}, i, j, N]
+    x_add = jnp.moveaxis(adds[..., 0, :, :, :], -3, -2)  # [..., l(j), parties, N]
+    y_add = jnp.moveaxis(adds[..., 1, :, :, :], -3, -2)
 
     x = ue.d0[..., :, None, :] + x_add
     y = y_add

@@ -307,6 +307,32 @@ def poly_mul_batched_torus(a_batch, s_shared):
     return out
 
 
+def poly_mul_batched_torus_multi(a_batch, s_shared):
+    """out[b, k] = sum_p negacyclic_conv(s_shared[k, p], a_batch[b, p]), mod 2^32.
+
+    a_batch:  [B, P, N] int32 torus polynomials (batched, varies)
+    s_shared: [K, P, N] small ints fitting int8 (shared across batch)
+    returns   [B, K, N] int32
+
+    Multi-output variant of `poly_mul_batched_torus`: one Toeplitz of the
+    shared small operand ([P*N, K*N] int8) serves every batch element and
+    every output k — used by the MK expansion where the gadget digits of
+    public-key differences are shared while f0/f1 vary per uni-encryption
+    (reference contraction: src/mk_internals.jl:319-336).
+    """
+    b, p, n = a_batch.shape
+    k = s_shared.shape[0]
+    toep = negacyclic_toeplitz(s_shared.astype(_I32)).astype(_I8)  # [K,P,N,N]
+    toep = toep.transpose(1, 2, 0, 3).reshape(p * n, k * n)
+    a_limbs = split_torus_limbs(a_batch)  # [4, B, P, N]
+    prods = _i8_matmul(a_limbs.reshape(4 * b, p * n), toep)
+    prods = prods.reshape(4, b, k, n)
+    out = jnp.zeros((b, k, n), _I32)
+    for j in range(4):
+        out = out + (prods[j] << (8 * j))
+    return out
+
+
 def negacyclic_mul(x_small, y_torus):
     """Pairwise exact negacyclic product, broadcasting leading dims.
 
