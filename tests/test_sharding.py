@@ -71,3 +71,38 @@ def test_sharded_nand_jit(toy_keys):
                parallel.shard_batch(ct_y, mesh))
     out = tt.decrypt(sk, got)
     np.testing.assert_array_equal(np.asarray(out), np.ones(B, bool))
+
+
+def test_mk_sharded_keys_bit_identical():
+    """MK gate with party keys sharded over `model` == unsharded, bit-exact."""
+    import tfhe_tpu.mk as mk
+
+    parties = 2
+    params = mk.mktfhe_parameters_toy(parties)
+    rng = jax.random.PRNGKey(77)
+    r_sh, r_e, ra, rb = jax.random.split(rng, 4)
+    shared = mk.make_shared_key(r_sh, params)
+    sks, parts_list = [], []
+    for r in (ra, rb):
+        r_sk, r_part = jax.random.split(r)
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        parts_list.append(mk.make_cloud_key_part(r_part, sk, shared))
+    ck = mk.make_mk_cloud_key(parts_list)
+
+    B = 8
+    bits = jnp.arange(B) % 2 == 0
+    x = mk.mk_encrypt(jax.random.PRNGKey(1), sks, bits)
+    y = mk.mk_encrypt(jax.random.PRNGKey(2), sks, ~bits)
+    want = mk.mk_gate_nand(ck, x, y)
+
+    mesh = parallel.make_mesh(2, 4)
+    ck_sh = parallel.shard_mk_cloud_key(ck, mesh)
+    got = jax.jit(mk.mk_gate_nand)(
+        ck_sh, parallel.shard_mk_batch(x, mesh), parallel.shard_mk_batch(y, mesh)
+    )
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    np.testing.assert_array_equal(
+        np.asarray(mk.mk_decrypt(sks, got)), np.ones(B, bool)
+    )

@@ -15,3 +15,7 @@ __all__ = [
     "make_bootstrap_sharded",
     "make_gate_nand_sharded",
 ]
+
+from .mesh import shard_mk_cloud_key, shard_mk_batch  # noqa: E402
+
+__all__ += ["shard_mk_cloud_key", "shard_mk_batch"]

@@ -150,6 +150,50 @@ def make_bootstrap_sharded(mesh: Mesh, params):
     return fn
 
 
+def shard_mk_cloud_key(ck, mesh: Mesh):
+    """Place MK evaluation-key material on the mesh.
+
+    The expanded MK bootstrap key ([parties*n, 4, P, K, 2N] int8, ~300 MB for
+    2 parties and growing with parties^2 — SURVEY.md section 6) is sharded
+    over the `model` axis along its step dimension (party-major, so each
+    model shard holds a contiguous run of parties' key material — the
+    EP-style placement); per-party keyswitch tables are row-sharded like the
+    single-key path. XLA regathers each scan step's slice on demand, trading
+    a per-step ICI transfer for parties^2 HBM headroom.
+    """
+    from ..mk.api import MKCloudKey
+    from ..mk.internals import MKBootstrapKey
+
+    steps = NamedSharding(mesh, P("model"))
+    rows = NamedSharding(mesh, P("model", None))
+    bk = ck.bootstrap_key
+    bk = MKBootstrapKey(
+        jax.device_put(bk.limbs, steps),
+        bk.parties, bk.lwe_size, bk.decomp_length, bk.log2_base,
+        bk.polynomial_degree,
+    )
+    ks = tuple(
+        KeyswitchKey(
+            jax.device_put(k.table_limbs, rows),
+            k.n_in, k.n_out, k.decomp_length, k.log2_base,
+        )
+        for k in ck.keyswitch_keys
+    )
+    return MKCloudKey(ck.params, ck.parties, bk, ks)
+
+
+def shard_mk_batch(x, mesh: Mesh):
+    """Shard an MKLweSample batch over all devices (both axes flattened)."""
+    from ..mk.internals import MKLweSample
+
+    s = NamedSharding(mesh, P(("data", "model")))
+    return MKLweSample(
+        jax.device_put(x.a, NamedSharding(mesh, P(("data", "model"), None, None))),
+        jax.device_put(x.b, s),
+        jax.device_put(x.cv, s),
+    )
+
+
 def make_gate_nand_sharded(mesh: Mesh, params):
     """Batched sharded NAND: affine combo (local) + sharded bootstrap.
 
