@@ -230,3 +230,26 @@ def test_mk_baked_vs_prepared_blind_rotate(rng, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(mk.mk_decrypt(sks, got)), [True, True]
     )
+
+
+def test_mk_segmented_blind_rotate_bit_identical():
+    """segments=3 host-chunked rotation == single-scan rotation."""
+    parties = 2
+    params = mk.mktfhe_parameters_toy(parties)
+    r = jax.random.PRNGKey(13)
+    r_sh, r_e, ra, rb = jax.random.split(r, 4)
+    shared = mk.make_shared_key(r_sh, params)
+    sks, parts = [], []
+    for rr in (ra, rb):
+        r_sk, r_part = jax.random.split(rr)
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(r_part, sk, shared))
+    ck = mk.make_mk_cloud_key(parts)
+    bits = jnp.asarray([True, False], bool)
+    x = mk.mk_encrypt(jax.random.PRNGKey(1), sks, bits)
+    y = mk.mk_encrypt(jax.random.PRNGKey(2), sks, ~bits)
+    want = mk.mk_gate_nand(ck, x, y)
+    got = mk.mk_gate_nand(ck, x, y, segments=3)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))

@@ -19,10 +19,15 @@ def _trivial(mu, ck: MKCloudKey, x: MKLweSample) -> MKLweSample:
     return mk_lwe_noiseless_trivial(mu, x.n, ck.parties, x.b.shape)
 
 
-def mk_gate_nand(ck: MKCloudKey, x: MKLweSample, y: MKLweSample) -> MKLweSample:
-    """NAND = mk_bootstrap(1/8 - x - y). Reference: src/mk_gates.jl:7-12."""
+def mk_gate_nand(ck: MKCloudKey, x: MKLweSample, y: MKLweSample,
+                 segments: int = 1) -> MKLweSample:
+    """NAND = mk_bootstrap(1/8 - x - y). Reference: src/mk_gates.jl:7-12.
+
+    segments > 1 (outside jit only) splits the rotation into host-level
+    chunks for devices with program-duration limits (see mk_blind_rotate).
+    """
     temp = _trivial(_MU, ck, x) - x - y
-    return mk_bootstrap(ck.bootstrap_key, ck.keyswitch_keys, _MU, temp)
+    return mk_bootstrap(ck.bootstrap_key, ck.keyswitch_keys, _MU, temp, segments)
 
 
 def mk_gate_and(ck: MKCloudKey, x: MKLweSample, y: MKLweSample) -> MKLweSample:

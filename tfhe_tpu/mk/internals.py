@@ -424,11 +424,18 @@ def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
     )
 
 
-def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara) -> TLweSample:
+def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
+                    segments: int = 1) -> TLweSample:
     """parties x n CMUX steps; accum: [B, parties+1, N]; bara: [B, parties, n].
 
     Reference: src/mk_internals.jl:473-485 (branchless equivalence as in the
     single-key path, SURVEY.md section 2 item 3).
+
+    segments > 1 splits the scan into `segments` separately-jitted host-level
+    chunks — bit-identical (the scan carry passes through unchanged), needed
+    on devices with program-duration limits when the unbaked (gather) path
+    makes one full rotation a multi-minute program (production 4+ parties).
+    Only valid OUTSIDE jit; the default runs as one scan and is jittable.
     """
     l, b = bk.decomp_length, bk.log2_base
     steps = bk.parties * bk.lwe_size
@@ -455,19 +462,35 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara) -> TLweSample:
             delta = tgsw_extern_mul_prepared(temp, limbs_i, l, b)
             return acc_a + delta.a, None
 
-    out_a, _ = jax.lax.scan(step, accum.a, (bk.limbs, bara_t))
-    return TLweSample(out_a, accum.cv)
+    if segments <= 1:
+        out_a, _ = jax.lax.scan(step, accum.a, (bk.limbs, bara_t))
+        return TLweSample(out_a, accum.cv)
+
+    @jax.jit
+    def run_segment(acc_a, limbs_seg, bara_seg):
+        out_a, _ = jax.lax.scan(step, acc_a, (limbs_seg, bara_seg))
+        return out_a
+
+    seg_len = -(-steps // segments)
+    acc_a = accum.a
+    for s0 in range(0, steps, seg_len):
+        acc_a = run_segment(
+            acc_a, bk.limbs[s0 : s0 + seg_len], bara_t[s0 : s0 + seg_len]
+        )
+    return TLweSample(acc_a, accum.cv)
 
 
-def mk_blind_rotate_and_extract(v, bk: MKBootstrapKey, barb, bara) -> MKLweSample:
+def mk_blind_rotate_and_extract(v, bk: MKBootstrapKey, barb, bara,
+                                segments: int = 1) -> MKLweSample:
     """Reference: src/mk_internals.jl:488-495."""
     testvectbis = polynomial.mul_by_monomial(v, -jnp.asarray(barb, jnp.int32))
     accum = mk_tlwe_noiseless_trivial(testvectbis, bk.parties)
-    accum = mk_blind_rotate(accum, bk, bara)
+    accum = mk_blind_rotate(accum, bk, bara, segments)
     return mk_tlwe_extract_sample(accum)
 
 
-def mk_bootstrap_wo_keyswitch(bk: MKBootstrapKey, mu, x: MKLweSample) -> MKLweSample:
+def mk_bootstrap_wo_keyswitch(bk: MKBootstrapKey, mu, x: MKLweSample,
+                              segments: int = 1) -> MKLweSample:
     """Reference: src/mk_internals.jl:498-509."""
     from ..numeric import decode_message
 
@@ -477,10 +500,11 @@ def mk_bootstrap_wo_keyswitch(bk: MKBootstrapKey, mu, x: MKLweSample) -> MKLweSa
     testvect = jnp.broadcast_to(
         jnp.asarray(mu, jnp.int32), x.b.shape + (p_degree,)
     )
-    return mk_blind_rotate_and_extract(testvect, bk, barb, bara)
+    return mk_blind_rotate_and_extract(testvect, bk, barb, bara, segments)
 
 
-def mk_bootstrap(bk: MKBootstrapKey, ks_keys, mu, x: MKLweSample) -> MKLweSample:
+def mk_bootstrap(bk: MKBootstrapKey, ks_keys, mu, x: MKLweSample,
+                 segments: int = 1) -> MKLweSample:
     """Reference: src/mk_internals.jl:512-515."""
-    u = mk_bootstrap_wo_keyswitch(bk, mu, x)
+    u = mk_bootstrap_wo_keyswitch(bk, mu, x, segments)
     return mk_keyswitch(ks_keys, u)

@@ -120,7 +120,8 @@ def prepare_shared_torus(t_shared):
     return jnp.moveaxis(limbs, 0, -4)  # [..., 4, P, K, 2N]
 
 
-def poly_mul_prepared(digits, t_limbs_doubled, small_bound_bits: int):
+def poly_mul_prepared(digits, t_limbs_doubled, small_bound_bits: int,
+                      max_toeplitz_bytes: int = 256 * 2**20):
     """out[b, k] = sum_p negacyclic_conv(digits[b, p], t[p, k]), mod 2^32.
 
     digits:          [B, P, N] int32, |digits| <= 2^small_bound_bits
@@ -128,18 +129,31 @@ def poly_mul_prepared(digits, t_limbs_doubled, small_bound_bits: int):
     returns          [B, K, N] int32
 
     The torus side becomes a limb Toeplitz [P*N, K*4*N] int8 shared by the
-    whole batch; the digits ride the matmul M dimension. This is the
+    whole batch; the digits ride the matmul M dimension. When the full
+    Toeplitz would exceed `max_toeplitz_bytes` (large multi-key operands:
+    4*P*K*N^2 grows as parties^2), the contraction is chunked over P —
+    int32 sums commute exactly, so chunking is bit-identical. This is the
     external-product hot kernel (reference: src/tgsw.jl:125-129).
     """
     B, P, n = digits.shape
     K = t_limbs_doubled.shape[-2]
-    toep = jnp.take(t_limbs_doubled, _doubled_toeplitz_index(n), axis=-1)
-    # [4, P, K, N(m), N(r)] -> [P*N(m), K*4*N(r)]
-    toep = toep.transpose(1, 3, 2, 0, 4).reshape(P * n, K * 4 * n)
-
     d_limbs, d_shifts = split_small_limbs(digits, small_bound_bits)  # [S, B, P, N]
     S = d_limbs.shape[0]
-    prods = _i8_matmul(d_limbs.reshape(S * B, P * n), toep)  # [S*B, K*4*N] int32
+
+    full_bytes = 4 * P * K * n * n
+    p_chunk = P
+    if full_bytes > max_toeplitz_bytes:
+        p_chunk = max(1, P * max_toeplitz_bytes // full_bytes)
+
+    prods = jnp.zeros((S * B, K * 4 * n), _I32)
+    idx = _doubled_toeplitz_index(n)
+    for p0 in range(0, P, p_chunk):
+        p1 = min(P, p0 + p_chunk)
+        toep = jnp.take(t_limbs_doubled[:, p0:p1], idx, axis=-1)
+        # [4, pc, K, N(m), N(r)] -> [pc*N(m), K*4*N(r)]
+        toep = toep.transpose(1, 3, 2, 0, 4).reshape((p1 - p0) * n, K * 4 * n)
+        lhs = d_limbs[:, :, p0:p1].reshape(S * B, (p1 - p0) * n)
+        prods = prods + _i8_matmul(lhs, toep)
     prods = prods.reshape(S, B, K, 4, n)
 
     out = jnp.zeros((B, K, n), _I32)
