@@ -165,7 +165,7 @@ def cmux_step_pallas(acc, e_step, bara, *, n, k1, l, b, t, s_limbs, d_shifts,
     pt = p * t
     cols = k1 * 4 * t
 
-    bt_a = _pick_tile(b_sz, _env_tile("TFHE_TPU_BTA", 128))
+    bt_a = _pick_tile(b_sz, _env_tile("TFHE_TPU_BTA", 256))
     rot_fn = functools.partial(
         _rotate_decompose_kernel,
         n=n, k1=k1, l=l, b=b, t=t, s_limbs=s_limbs, offset=offset,
