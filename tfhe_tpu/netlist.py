@@ -118,17 +118,23 @@ _LIB = None
 
 
 def _native_lib():
-    """Load (building on demand) the C++ scheduler; None if unavailable."""
+    """Load (building on demand) the C++ scheduler; None if unavailable.
+
+    `make -C native` always runs first (make's own mtime check keeps it a
+    no-op when the .so is current) so an edited circuit_scheduler.cc is never
+    shadowed by a stale binary; build artifacts are gitignored, never
+    committed.
+    """
     global _LIB
     if _LIB is not None:
         return _LIB or None
     path = _native_path()
-    if not os.path.exists(path):
-        src_dir = os.path.dirname(os.path.dirname(path))
-        try:
-            subprocess.run(["make", "-C", src_dir], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    src_dir = os.path.dirname(os.path.dirname(path))
+    try:
+        subprocess.run(["make", "-C", src_dir], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(path):
             _LIB = False
             return None
     try:
@@ -220,11 +226,13 @@ class Schedule:
         return len(self.batch_type)
 
     def run(self, ck: CloudKey, inputs: dict[int, LweSample],
-            batch_shape=()) -> dict[int, LweSample]:
+            batch_shape=()) -> LweSample:
         """Execute over encrypted inputs: {wire: LweSample[batch_shape]}.
 
-        Returns the ciphertext for every wire. Each scheduled batch issues
-        ONE batched gate call over (batch_shape x gates_in_batch).
+        Returns the full wire state as ONE stacked LweSample of shape
+        [*batch_shape, n_wires, ...] — extract individual wires with
+        `Schedule.wire(state, w)`. Each scheduled batch issues ONE batched
+        gate call over (batch_shape x gates_in_batch).
         """
         circ = self.circuit
         n = ck.params.lwe_size

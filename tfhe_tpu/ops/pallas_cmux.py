@@ -158,6 +158,9 @@ def cmux_step_pallas(acc, e_step, bara, *, n, k1, l, b, t, s_limbs, d_shifts,
     acc: int32[B, k1, N]; e_step: int8[2M, P*T, k1*4*T] (permuted-d baked);
     bara: int32[B]. Bit-exact vs the XLA path (mux_rotate_baked).
     """
+    # The rotate kernel computes shift mod N as `shift2 & (n - 1)`, which is
+    # only correct for power-of-two N (all shipped presets are).
+    assert n & (n - 1) == 0, f"polynomial degree must be a power of 2, got {n}"
     b_sz = acc.shape[0]
     m = n // t
     m2 = 2 * m

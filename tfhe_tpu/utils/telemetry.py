@@ -47,8 +47,13 @@ def noise_margin(key: SecretKey, sample: LweSample,
     """
     phase = np.asarray(lwe_phase(sample, key.key)).astype(np.int64)
     mu = np.int64(encode_message(1, 8))
-    err_pos = np.abs(phase - mu)
-    err_neg = np.abs(phase + mu)
+
+    def circ_dist(d):
+        # circular torus distance: reduce mod 2^32 into [-2^31, 2^31)
+        return np.abs(((d + 2**31) & 0xFFFFFFFF) - 2**31)
+
+    err_pos = circ_dist(phase - mu)
+    err_neg = circ_dist(phase + mu)
     err = np.minimum(err_pos, err_neg)
     failures = 0
     if expected is not None:
