@@ -30,7 +30,7 @@ def rand_t32(rng, shape):
 def test_cmux_step_pallas_matches_xla(rng, n, l, b, t, batch):
     k1 = 2
     gsw = rand_t32(rng, (1, l, k1, k1, n))
-    bk = bs.bootstrap_key_from_raw(gsw, l, b, block=t)
+    bk = bs.bootstrap_key_from_raw(gsw, l, b, block=t, depth=0)
     acc = rand_t32(rng, (batch, k1, n))
     bara = rng.integers(0, 2 * n, size=batch).astype(np.int32)
     bara[0] = 0  # no-op lane
@@ -51,7 +51,7 @@ def test_blind_rotate_pallas_dispatch(rng, monkeypatch):
     """Full blind rotate through the Pallas path (interpret) == XLA path."""
     n, l, b, k1, n_lwe, batch = 64, 3, 7, 2, 6, 4
     gsw = rand_t32(rng, (n_lwe, l, k1, k1, n))
-    bk = bs.bootstrap_key_from_raw(gsw, l, b)
+    bk = bs.bootstrap_key_from_raw(gsw, l, b, depth=0)
     acc0 = rand_t32(rng, (batch, k1, n))
     bara = rng.integers(0, 2 * n, size=(batch, n_lwe)).astype(np.int32)
     acc = tlwe_mod.TLweSample(acc0, np.zeros(batch, np.float32))

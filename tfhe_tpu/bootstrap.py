@@ -49,19 +49,27 @@ def _default_block(poly_degree: int) -> int:
     jax.tree_util.register_dataclass,
     data_fields=["baked"],
     meta_fields=[
-        "decomp_length", "log2_base", "polynomial_degree", "mask_size", "block",
+        "decomp_length", "log2_base", "polynomial_degree", "mask_size",
+        "block", "depth",
     ],
 )
 @dataclasses.dataclass(frozen=True)
 class BootstrapKey:
-    """Per-LWE-key-bit TGSW encryptions, baked into block-Toeplitz MXU form.
+    """Per-LWE-key-bit TGSW encryptions, baked into MXU-ready form.
 
-    baked: int8[n, 2M, P*T, (k+1)*4*T] with P = (k+1)*l, M = N/T — each key
-    bit's TGSW sample pre-gathered into the blocked negacyclic-Toeplitz limb
-    layout of ops/conv.py:bake_block_toeplitz, so gate-time blind rotation is
-    pure int8 matmuls with zero gathers (the analogue of the reference
-    storing its key pre-FFT'd, src/bootstrap.jl:1-16; 4.0 GB for the 128-bit
-    preset at T=64 vs 62 MB raw — HBM traded for ~100x gather latency).
+    Two bakes, selected by `depth`:
+
+    * depth == 0 — dense block-Toeplitz: baked int8[n, 2M*P*T, (k+1)*4*T]
+      (P = (k+1)*l, M = N/T; ops/conv.py:bake_block_toeplitz), gate-time
+      blind rotation is M^2 dense super-block int8 matmuls per step.
+    * depth >= 1 — block-Karatsuba leaf storage: baked
+      int8[n, total_rows*P*T, (k+1)*4*T] (ops/karatsuba.py:bake_karatsuba),
+      cutting super-block products to 48/40/34 at depth 1/2/3 — the round-2
+      lever past the dense path's algorithmic MAC ceiling.
+
+    Both are the TPU-resident analogue of the reference storing its key
+    pre-FFT'd (src/bootstrap.jl:1-16): HBM traded for gather-free MXU
+    streaming.
     """
 
     baked: jax.Array
@@ -70,10 +78,19 @@ class BootstrapKey:
     polynomial_degree: int
     mask_size: int
     block: int
+    depth: int = 0
 
     @property
     def n(self) -> int:
         return self.baked.shape[0]
+
+    @property
+    def plan(self):
+        from .ops.karatsuba import karatsuba_plan
+
+        return karatsuba_plan(
+            self.polynomial_degree // self.block, self.depth, self.log2_base
+        )
 
 
 def bootstrap_key_gen(rng, alpha: float, lwe_key, tlwe_key,
@@ -90,18 +107,40 @@ def bootstrap_key_gen(rng, alpha: float, lwe_key, tlwe_key,
     return bootstrap_key_from_raw(gsw, decomp_length, log2_base, block)
 
 
+def _default_depth() -> int:
+    """Karatsuba depth for new bootstrap keys (env TFHE_TPU_KARATSUBA_DEPTH).
+
+    Depth 2 cuts super-block MACs to 40/64 with an 18/16-row bake (~1.1x the
+    dense key bytes); depth 3 reaches 34/64 at 27/16 rows. Default stays 0
+    (dense) until the fused Pallas kernel consumes the Karatsuba layout —
+    the XLA scatter-add reconstruction is not the production path.
+    """
+    import os
+
+    return int(os.environ.get("TFHE_TPU_KARATSUBA_DEPTH", "0"))
+
+
 def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int,
-                           block: int | None = None) -> BootstrapKey:
+                           block: int | None = None,
+                           depth: int | None = None) -> BootstrapKey:
     """Bake a key from raw coefficient-domain TGSW samples
     (gsw: int32[n, l, k+1, k+1, N]) — also used by oracle-equivalence tests."""
     from .ops.conv import bake_block_toeplitz
+    from .ops.karatsuba import bake_karatsuba, karatsuba_plan
 
     poly_degree = gsw.shape[-1]
     t = _default_block(poly_degree) if block is None else block
+    depth = _default_depth() if depth is None else depth
+    depth = min(depth, (poly_degree // t).bit_length() - 1)
     limbs = prepare_tgsw(gsw, decomp_length, log2_base)  # [n, 4, P, K, 2N]
+    if depth:
+        plan = karatsuba_plan(poly_degree // t, depth, log2_base)
+        baked = bake_karatsuba(limbs, t, plan)
+    else:
+        baked = bake_block_toeplitz(limbs, t)
     return BootstrapKey(
-        bake_block_toeplitz(limbs, t),
-        decomp_length, log2_base, poly_degree, gsw.shape[-2] - 1, t,
+        baked, decomp_length, log2_base, poly_degree, gsw.shape[-2] - 1, t,
+        depth,
     )
 
 
@@ -130,6 +169,24 @@ def mux_rotate_baked(acc_a, e_i, barai, decomp_length: int, log2_base: int,
     prods = block_toeplitz_matmul(d_limbs, e_i, block)
     delta = recombine_block_prods(prods, kp1, d_shifts)
     return acc_a + delta
+
+
+def mux_rotate_karatsuba(acc_a, e_i, barai, decomp_length: int,
+                         log2_base: int, block: int, plan):
+    """The CMUX against a block-Karatsuba-baked key (ops/karatsuba.py).
+
+    acc_a: int32[B, k+1, N]; e_i: int8[total_rows*P*T, K*4*T]; barai: int32[B].
+    Bit-exact vs `mux_rotate_baked` (tests/test_karatsuba.py) and hence vs
+    the oracle. Reference: src/bootstrap.jl:19-23.
+    """
+    from .ops.karatsuba import karatsuba_delta
+    from .tgsw import decompose
+
+    b_sz, kp1, n = acc_a.shape
+    rot = polynomial.mul_by_monomial(acc_a, barai[:, None])
+    digits = decompose(rot - acc_a, decomp_length, log2_base)
+    digits = digits.reshape(b_sz, kp1 * decomp_length, n)
+    return acc_a + karatsuba_delta(digits, e_i, block, plan)
 
 
 def mux_rotate(accum: TLweSample, bki_limbs, barai,
@@ -166,9 +223,15 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
     l, b, t = bk.decomp_length, bk.log2_base, bk.block
 
     interpret = jax.default_backend() != "tpu"
+    if bk.depth:
+        plan = bk.plan
+
+        def step(acc_a, xs):
+            e_i, bara_i = xs
+            return mux_rotate_karatsuba(acc_a, e_i, bara_i, l, b, t, plan), None
     # Compiled Mosaic kernels need lane-aligned blocks (T == 128); interpret
     # mode (CPU differential tests) has no such constraint.
-    if _use_pallas_cmux() and (interpret or t == 128):
+    elif _use_pallas_cmux() and (interpret or t == 128):
         from .ops.conv import split_small_limbs
         from .ops.pallas_cmux import cmux_step_pallas
         from .tgsw import decomp_offset
