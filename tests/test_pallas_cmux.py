@@ -47,6 +47,35 @@ def test_cmux_step_pallas_matches_xla(rng, n, l, b, t, batch):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize(
+    "n,l,b,t,batch,depth",
+    [
+        (64, 3, 7, 32, 8, 1),   # shallow plan, single digit limb
+        (128, 3, 7, 32, 8, 2),  # M=4, depth 2
+        (256, 3, 7, 32, 8, 3),  # M=8 full depth, 128-bit-style decomposition
+        (256, 2, 10, 32, 8, 3),  # 80-bit-style: two digit limbs everywhere
+        (256, 3, 7, 64, 4, 2),  # toy production block
+    ],
+)
+def test_cmux_step_pallas_karatsuba_matches_xla(rng, n, l, b, t, batch, depth):
+    from tfhe_tpu.ops.pallas_cmux import cmux_step_pallas_karatsuba
+
+    k1 = 2
+    gsw = rand_t32(rng, (1, l, k1, k1, n))
+    bk = bs.bootstrap_key_from_raw(gsw, l, b, block=t, depth=depth)
+    acc = rand_t32(rng, (batch, k1, n))
+    bara = rng.integers(0, 2 * n, size=batch).astype(np.int32)
+    bara[0] = 0  # no-op lane
+
+    want = bs.mux_rotate_karatsuba(acc, bk.baked[0], bara, l, b, t, bk.plan)
+    got = cmux_step_pallas_karatsuba(
+        acc, bk.baked[0], bara,
+        n=n, k1=k1, l=l, b=b, t=t, plan=bk.plan,
+        offset=decomp_offset(l, b), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_blind_rotate_pallas_dispatch(rng, monkeypatch):
     """Full blind rotate through the Pallas path (interpret) == XLA path."""
     n, l, b, k1, n_lwe, batch = 64, 3, 7, 2, 6, 4

@@ -225,10 +225,25 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
     interpret = jax.default_backend() != "tpu"
     if bk.depth:
         plan = bk.plan
+        if _use_pallas_cmux() and (interpret or t == 128):
+            from .ops.pallas_cmux import cmux_step_pallas_karatsuba
+            from .tgsw import decomp_offset
 
-        def step(acc_a, xs):
-            e_i, bara_i = xs
-            return mux_rotate_karatsuba(acc_a, e_i, bara_i, l, b, t, plan), None
+            offset = decomp_offset(l, b)
+
+            def step(acc_a, xs):
+                e_i, bara_i = xs
+                out = cmux_step_pallas_karatsuba(
+                    acc_a, e_i, bara_i,
+                    n=bk.polynomial_degree, k1=bk.mask_size + 1, l=l, b=b,
+                    t=t, plan=plan, offset=offset, interpret=interpret,
+                )
+                return out, None
+        else:
+            def step(acc_a, xs):
+                e_i, bara_i = xs
+                return mux_rotate_karatsuba(
+                    acc_a, e_i, bara_i, l, b, t, plan), None
     # Compiled Mosaic kernels need lane-aligned blocks (T == 128); interpret
     # mode (CPU differential tests) has no such constraint.
     elif _use_pallas_cmux() and (interpret or t == 128):

@@ -203,13 +203,23 @@ def bake_karatsuba(limbs_doubled, t: int, plan: KaratsubaPlan,
 
     if steps <= chunk:
         return bake_steps(limbs_doubled)
-    main = (steps // chunk) * chunk
-    out = lax.map(
-        bake_steps,
-        limbs_doubled[:main].reshape(steps // chunk, chunk, four, p, k, n2),
-    ).reshape(main, plan.total_rows * p * t, k * 4 * t)
-    if main < steps:
-        out = jnp.concatenate([out, bake_steps(limbs_doubled[main:])], axis=0)
+
+    # Multi-GB keys: assemble chunks IN PLACE into a donated accumulator.
+    # (concatenate/lax.map assembly would transiently hold two copies of the
+    # full key — an instant HBM OOM at production sizes.)
+    import jax
+
+    rows, cols = plan.total_rows * p * t, k * 4 * t
+    update = jax.jit(
+        lambda buf, lim, s0: lax.dynamic_update_slice(
+            buf, bake_steps(lim), (s0, 0, 0)
+        ),
+        donate_argnums=0,
+    )
+    out = jnp.zeros((steps, rows, cols), _I8)
+    for s0 in range(0, steps, chunk):
+        s0 = min(s0, steps - chunk)  # last chunk overlaps: same values, one compile
+        out = update(out, lax.slice_in_dim(limbs_doubled, s0, s0 + chunk), s0)
     return out
 
 

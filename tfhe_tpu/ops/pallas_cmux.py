@@ -133,6 +133,192 @@ def _cmux_matmul_kernel(dig_ref, acc_ref, e_hbm, out_ref, w_buf, sem, *,
         out_ref[:, k, :] = acc_ref[:, k, :] + acc_k
 
 
+def _kernel_plan(plan, p: int, t: int):
+    """Lower a KaratsubaPlan into static kernel metadata.
+
+    Returns (combo_writes, leaf_dots, comb_rows):
+    * combo_writes: ((dst_row, src_blocks, shifts, leaf_len), ...) — one per
+      combo-leaf entry; limb s of entry j lands at dcomb row
+      dst_row + s*leaf_len (rows in PT units). Only non-singleton or
+      multi-limb leaves materialize.
+    * leaf_dots: ((e_row, L, lhs_descs, contribs), ...) per leaf, where
+      lhs_descs = ((buffer_id, row_start, shift), ...) per digit limb
+      (buffer 0 = raw digit scratch, 1 = combo scratch).
+    * comb_rows: total dcomb rows (PT units).
+
+    Singleton single-limb leaves slice the raw digit buffer directly: their
+    entry index-sets are consecutive original blocks by construction (L/H
+    splits preserve contiguous ranges), so no copy is ever needed.
+    """
+    combo_writes = []
+    leaf_dots = []
+    comb_row = 0
+    for lf in plan.leaves:
+        L = lf.length
+        singleton = all(len(e) == 1 for e in lf.entries)
+        if singleton and lf.d_shifts == (0,):
+            first = lf.entries[0][0]
+            assert tuple(e[0] for e in lf.entries) == tuple(
+                range(first, first + L)
+            )
+            lhs_descs = ((0, first, 0),)
+        else:
+            base = comb_row
+            n_s = len(lf.d_shifts)
+            for j, entry in enumerate(lf.entries):
+                combo_writes.append((base + j, entry, lf.d_shifts, L))
+            lhs_descs = tuple(
+                (1, base + s * L, lf.d_shifts[s]) for s in range(n_s)
+            )
+            comb_row += n_s * L
+        leaf_dots.append((lf.row_offset, L, lhs_descs, lf.contribs))
+    return tuple(combo_writes), tuple(leaf_dots), comb_row
+
+
+def _fused_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
+                            dig_ref, dcomb_ref, ebuf_ref, cacc_ref, sem,
+                            sem_io, *, n, k1, l, b, t, offset, combo_writes,
+                            leaf_dots, dig_i32, ablate=()):
+    """One fully-fused CMUX step: rotate -> decompose -> digit combos ->
+    per-leaf int8 dots (double-buffered key DMA) -> limb recombine ->
+    fold/scatter -> accumulator update. See module docstring for layouts.
+
+    acc in/out ride MANUAL single-buffered DMA (acc_hbm/out_hbm in ANY
+    space): the VMEM this frees over pipelined BlockSpecs is what lets the
+    batch tile reach 256 rows, halving how often the step's whole key is
+    re-streamed (E traffic scales as B/BT). The rotate scratch reuses
+    cacc_ref's first N lanes — cacc is only zeroed after the digits exist.
+    """
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    bt = acc_ref.shape[0]
+    cols = ebuf_ref.shape[-1]
+    kt = k1 * t
+    c = pl.program_id(0)
+
+    cp_in = pltpu.make_async_copy(
+        acc_hbm.at[pl.ds(c * bt, bt)], acc_ref, sem_io)
+    cp_in.start()
+
+    shift2 = jnp.mod(bara_ref[...], 2 * n)
+    shift1 = shift2 & (n - 1)
+    wrap = shift2 >= n
+    stages = (n - 1).bit_length()
+    mask = jnp.int32((1 << b) - 1)
+    half = jnp.int32(1 << (b - 1))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    cp_in.wait()
+
+    # --- rotate + decompose into dig_ref [BT, M*PT], lane order (i, j, i_l, u)
+    # (cacc_ref's first N lanes double as the barrel scratch; zeroed later)
+    for j in range(k1 if "rot" not in ablate else 0):
+        row = acc_ref[:, j, :]
+        cacc_ref[:, 0:n] = row
+        for s in range(stages):
+            cur = cacc_ref[:, 0:n]
+            rolled = pltpu.roll(cur, 1 << s, axis=1)
+            take = (shift1 >> s) & 1
+            cacc_ref[:, 0:n] = jnp.where(take != 0, rolled, cur)
+        flip = (col >= shift1) ^ (~wrap)
+        rotated = jnp.where(flip, -cacc_ref[:, 0:n], cacc_ref[:, 0:n])
+        shifted = rotated - row + jnp.int32(offset)
+        for i_l in range(l):
+            d = ((shifted >> (32 - (i_l + 1) * b)) & mask) - half
+            for i in range(m):
+                seg = slice(i * pt + (j * l + i_l) * t,
+                            i * pt + (j * l + i_l + 1) * t)
+                blk = d[:, i * t: (i + 1) * t]
+                dig_ref[:, seg] = blk if dig_i32 else blk.astype(jnp.int8)
+
+    # --- digit combos (int32 sums -> exact int8 limb splits)
+    for dst_row, src_blocks, shifts, leaf_len in combo_writes:
+        comb = dig_ref[:, src_blocks[0] * pt: (src_blocks[0] + 1) * pt]
+        comb = comb.astype(jnp.int32)
+        for blk in src_blocks[1:]:
+            comb = comb + dig_ref[:, blk * pt: (blk + 1) * pt].astype(jnp.int32)
+        if len(shifts) == 1:
+            dcomb_ref[:, dst_row * pt: (dst_row + 1) * pt] = comb.astype(
+                jnp.int8)
+        else:
+            lo = ((comb & 127) ^ 64) - 64
+            hi = (comb - lo) >> 7
+            dcomb_ref[:, dst_row * pt: (dst_row + 1) * pt] = lo.astype(jnp.int8)
+            r2 = dst_row + leaf_len
+            dcomb_ref[:, r2 * pt: (r2 + 1) * pt] = hi.astype(jnp.int8)
+
+    # --- leaf dots with double-buffered E streaming
+    def e_dma(li):
+        e_row, L, _, _ = leaf_dots[li]
+        return pltpu.make_async_copy(
+            e_hbm.at[pl.ds(e_row * pt, L * pt)],
+            ebuf_ref.at[li % 2, pl.ds(0, L * pt)],
+            sem.at[li % 2],
+        )
+
+    e_dma(0).start()
+    cacc_ref[...] = jnp.zeros(cacc_ref.shape, jnp.int32)
+    n_leaves = len(leaf_dots)
+    if "dots" in ablate:
+        leaf_dots = leaf_dots[:0]
+    for li, (e_row, L, lhs_descs, contribs) in enumerate(leaf_dots):
+        if li + 1 < n_leaves and "dma" not in ablate:
+            e_dma(li + 1).start()
+        if li == 0 or "dma" not in ablate:
+            e_dma(li).wait()
+        for o in range(2 * L - 1):
+            i0, i1 = max(0, o - L + 1), min(L - 1, o)
+            width = (i1 - i0 + 1) * pt
+            rhs = ebuf_ref[li % 2, pl.ds((L - 1 - o + i0) * pt, width)]
+            rec = None
+            for buf_id, row0, d_shift in lhs_descs:
+                src = dcomb_ref if buf_id else dig_ref
+                lhs = src[:, (row0 + i0) * pt: (row0 + i0) * pt + width]
+                if dig_i32 and buf_id == 0:
+                    lhs = lhs.astype(jnp.int8)
+                prod = lax.dot_general(
+                    lhs, rhs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # [BT, K*4*T]
+                if d_shift:
+                    prod = prod << d_shift
+                rec = prod if rec is None else rec + prod
+            # limb recombination -> [BT, K*T] int32 words (exact mod 2^32)
+            word = None
+            for k in range(k1):
+                wk = rec[:, (k * 4) * t: (k * 4 + 1) * t]
+                for limb in range(1, 4):
+                    wk = wk + (
+                        rec[:, (k * 4 + limb) * t: (k * 4 + limb + 1) * t]
+                        << (8 * limb)
+                    )
+                word = wk if word is None else jnp.concatenate(
+                    [word, wk], axis=-1)
+            # fold/scatter into cacc (flat [BT, M*K*T], block pos-major)
+            for off, sgn in contribs:
+                pos = off + o
+                if pos >= 2 * m - 1:
+                    continue
+                sgn_f = sgn if pos < m else -sgn
+                posm = pos % m
+                cur = cacc_ref[:, posm * kt: (posm + 1) * kt]
+                cacc_ref[:, posm * kt: (posm + 1) * kt] = (
+                    cur + word if sgn_f == 1 else cur - word
+                )
+
+    # --- accumulator update in place, then DMA back to HBM
+    for k in range(k1):
+        for i in range(m):
+            acc_ref[:, k, i * t: (i + 1) * t] = (
+                acc_ref[:, k, i * t: (i + 1) * t]
+                + cacc_ref[:, i * kt + k * t: i * kt + (k + 1) * t]
+            )
+    cp_out = pltpu.make_async_copy(
+        acc_ref, out_hbm.at[pl.ds(c * bt, bt)], sem_io)
+    cp_out.start()
+    cp_out.wait()
+
+
 def _pick_tile(b_sz: int, target: int) -> int:
     bt = min(b_sz, target)
     while b_sz % bt:
@@ -144,6 +330,66 @@ def _env_tile(name: str, default: int) -> int:
     import os
 
     return int(os.environ.get(name, default))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k1", "l", "b", "t", "plan", "offset", "interpret",
+                     "btk", "ablate"),
+)
+def cmux_step_pallas_karatsuba(acc, e_step, bara, *, n, k1, l, b, t, plan,
+                               offset, interpret=False, btk=None, ablate=()):
+    """One fused block-Karatsuba CMUX step (single pallas_call).
+
+    acc: int32[B, k1, N]; e_step: int8[total_rows*P*T, K*4*T]
+    (ops/karatsuba.py:bake_karatsuba); bara: int32[B]. Bit-exact vs the XLA
+    path (bootstrap.mux_rotate_karatsuba) — tests/test_pallas_cmux.py.
+
+    Fusing rotate/decompose (VPU), digit combos (VPU), all leaf matmuls
+    (MXU, per-leaf double-buffered key DMA from HBM) and the fold/recombine
+    epilogue (VPU) into one kernel removes the per-step digits HBM
+    round-trip of the round-1 two-kernel design and gives Mosaic's scheduler
+    the chance to co-issue VPU and MXU work.
+    """
+    assert n & (n - 1) == 0, f"polynomial degree must be a power of 2, got {n}"
+    b_sz = acc.shape[0]
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    cols = k1 * 4 * t
+
+    combo_writes, leaf_dots, comb_rows = _kernel_plan(plan, p, t)
+    max_l = max(L for _, L, _, _ in leaf_dots)
+    dig_i32 = b > 8
+    bt = _pick_tile(b_sz, btk or _env_tile("TFHE_TPU_BTK", 256))
+
+    fn = functools.partial(
+        _fused_karatsuba_kernel,
+        n=n, k1=k1, l=l, b=b, t=t, offset=offset,
+        combo_writes=combo_writes, leaf_dots=leaf_dots, dig_i32=dig_i32,
+        ablate=ablate,
+    )
+    return pl.pallas_call(
+        fn,
+        out_shape=jax.ShapeDtypeStruct((b_sz, k1, n), jnp.int32),
+        grid=(b_sz // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # acc: manual DMA per cell
+            pl.BlockSpec(memory_space=pl.ANY),  # E stays in HBM, streamed
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # manual DMA per cell
+        scratch_shapes=[
+            pltpu.VMEM((bt, k1, n), jnp.int32),  # acc tile
+            pltpu.VMEM((bt, m * pt), jnp.int32 if dig_i32 else jnp.int8),
+            pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),
+            pltpu.VMEM((2, max_l * pt, cols), jnp.int8),
+            pltpu.VMEM((bt, m * k1 * t), jnp.int32),  # cacc (+rotate scratch)
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(bara.reshape(b_sz, 1), acc, e_step)
 
 
 @functools.partial(

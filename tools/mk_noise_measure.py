@@ -184,8 +184,10 @@ def main():
                - (bara * sk_bits_all(sks)).sum(axis=(1, 2), keepdims=True)[..., 0]
                ) % (2 * N)
         exp_sign = np.where((tot[:, 0] % (2 * N)) < N, 1, -1)
-        u = jax.jit(lambda a, b: mk_bootstrap_wo_keyswitch_masked(
-            bs, jnp.int32(mu), a, b))(jnp.asarray(bara), lin.b)
+        # bs passed as a jit ARGUMENT (a closure would capture the multi-GB
+        # baked key as an XLA constant and stall lowering)
+        u = jax.jit(mk_bootstrap_wo_keyswitch_masked, static_argnums=())(
+            bs, jnp.int32(mu), jnp.asarray(bara), lin.b)
         phase = np.asarray(mk_lwe_phase(u, jnp.asarray(ext_keys)))
         sig, fails, _ = phase_err_stats(phase, exp_sign > 0, mu)
         results[f"rot_sigma_{live}steps"] = sig
