@@ -1,0 +1,111 @@
+"""Honest `cv` propagation: predicted variance vs measured phase error.
+
+The reference's `current_variance` is advisory and unmaintained (issue #7);
+this framework propagates it through bootstrap/keyswitch/MK via the
+analytic model in tfhe_tpu/noise.py. These tests assert the prediction is
+(a) nonzero and additive where it must be, and (b) within a factor of the
+empirically measured phase-error variance at toy parameters over a large
+batch — catching both "decorative zero" and grossly wrong formulas. (The
+model uses nominal sigmas and uniform-digit bounds, so a modest systematic
+gap is expected; the trunc discretization only shrinks real noise.)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tfhe_tpu as tt
+from tfhe_tpu import gates
+from tfhe_tpu.lwe import lwe_phase
+from tfhe_tpu.numeric import encode_message
+
+BATCH = 512
+TWO32 = float(2**32)
+
+
+@pytest.fixture(scope="module")
+def toy():
+    params = tt.tfhe_parameters_toy()
+    sk, ck = tt.make_key_pair(jax.random.PRNGKey(9), params)
+    return params, sk, ck
+
+
+def _phase_err_var(sk, sample, want_bits):
+    mu = np.int64(encode_message(1, 8))
+    expected = np.where(np.asarray(want_bits, bool), mu, -mu)
+    phase = np.asarray(lwe_phase(sample, sk.key)).astype(np.int64)
+    err = ((phase - expected + 2**31) & 0xFFFFFFFF) - 2**31
+    return float((err / TWO32).var())
+
+
+def test_bootstrap_cv_matches_measurement(toy):
+    params, sk, ck = toy
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.integers(0, 2, BATCH).astype(bool))
+    ys = jnp.asarray(rng.integers(0, 2, BATCH).astype(bool))
+    ct_x = tt.encrypt(jax.random.PRNGKey(1), sk, xs)
+    ct_y = tt.encrypt(jax.random.PRNGKey(2), sk, ys)
+    out = gates.gate_nand(ck, ct_x, ct_y)
+
+    predicted = float(np.asarray(out.cv)[0])
+    assert predicted > 0, "cv must be maintained through bootstrap+keyswitch"
+    measured = _phase_err_var(sk, out, ~(np.asarray(xs) & np.asarray(ys)))
+    ratio = predicted / measured
+    assert 1 / 3 < ratio < 3, (predicted, measured, ratio)
+
+
+def test_cv_additivity_and_scaling(toy):
+    params, sk, ck = toy
+    bits = jnp.asarray([True, False] * 4, bool)
+    ct = tt.encrypt(jax.random.PRNGKey(3), sk, bits)
+    two = ct + ct
+    np.testing.assert_allclose(np.asarray(two.cv), 2 * np.asarray(ct.cv))
+    scaled = ct * 3
+    np.testing.assert_allclose(np.asarray(scaled.cv), 9 * np.asarray(ct.cv))
+
+
+def test_mux_cv_accumulates(toy):
+    """MUX = 2 rotations + 1 keyswitch: cv must exceed a single gate's."""
+    params, sk, ck = toy
+    bits = jnp.asarray([True, False, True, False], bool)
+    a = tt.encrypt(jax.random.PRNGKey(4), sk, bits)
+    b = tt.encrypt(jax.random.PRNGKey(5), sk, bits)
+    c = tt.encrypt(jax.random.PRNGKey(6), sk, bits)
+    mux = gates.gate_mux(ck, a, b, c)
+    nand = gates.gate_nand(ck, a, b)
+    assert float(np.asarray(mux.cv)[0]) > float(np.asarray(nand.cv)[0])
+
+
+def test_mk_cv_predicts_measurement():
+    import tfhe_tpu.mk as mk
+    from tfhe_tpu.mk.internals import mk_lwe_phase
+
+    params = mk.mktfhe_parameters_toy(2)
+    shared = mk.make_shared_key(jax.random.PRNGKey(100), params)
+    sks, parts = [], []
+    for p in range(2):
+        sk = tt.make_secret_key(jax.random.PRNGKey(200 + p), params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(
+            jax.random.PRNGKey(300 + p), sk, shared))
+    mck = mk.make_mk_cloud_key(parts)
+
+    rng = np.random.default_rng(1)
+    xs = jnp.asarray(rng.integers(0, 2, 128).astype(bool))
+    ys = jnp.asarray(rng.integers(0, 2, 128).astype(bool))
+    e1 = mk.mk_encrypt(jax.random.PRNGKey(7), sks, xs)
+    e2 = mk.mk_encrypt(jax.random.PRNGKey(8), sks, ys)
+    out = mk.mk_gate_nand(mck, e1, e2)
+
+    predicted = float(np.asarray(out.cv)[0])
+    assert predicted > 0
+    mu = np.int64(encode_message(1, 8))
+    want = ~(np.asarray(xs) & np.asarray(ys))
+    expected = np.where(want, mu, -mu)
+    keys = jnp.stack([sk.key for sk in sks])
+    phase = np.asarray(mk_lwe_phase(out, keys)).astype(np.int64)
+    err = (((phase - expected + 2**31) & 0xFFFFFFFF) - 2**31) / TWO32
+    measured = float(err.var())
+    ratio = predicted / measured
+    assert 1 / 4 < ratio < 4, (predicted, measured, ratio)

@@ -1,8 +1,13 @@
-"""Production-preset smoke tests (slow: full-size keygen + bootstrap on CPU).
+"""Production-preset tests (slow: full-size keygen + bootstrap on CPU).
 
-Mirrors the reference's 128-bit parameter test (test/runtests.jl:43-57) and
-the default-preset NAND truth table (test/runtests.jl:26-40), at batch=4.
-Run explicitly with `-m slow` or in the TPU benchmark path.
+Mirrors the reference's test strategy at the sizes the reference tests
+(test/runtests.jl:26-40: the FULL 12-gate truth table at the default 80-bit
+preset; :43-57: NAND at the 128-bit preset), plus MUX at production size —
+which the reference exercises in the same exhaustive table. One key pair per
+preset (module-scoped: keygen is the expensive part), every input
+combination checked.
+
+Run explicitly with `-m slow` or via the TPU benchmark path.
 """
 
 import jax
@@ -16,11 +21,75 @@ from tfhe_tpu import gates
 pytestmark = pytest.mark.slow
 
 
-@pytest.mark.parametrize(
-    "preset", [tt.tfhe_parameters_80, tt.tfhe_parameters_128]
-)
-def test_nand_truth_table(preset):
-    params = preset()
+GATES_2IN = [
+    ("nand", gates.gate_nand, lambda x, y: ~(x & y)),
+    ("or", gates.gate_or, lambda x, y: x | y),
+    ("and", gates.gate_and, lambda x, y: x & y),
+    ("xor", gates.gate_xor, lambda x, y: x ^ y),
+    ("xnor", gates.gate_xnor, lambda x, y: ~(x ^ y)),
+    ("nor", gates.gate_nor, lambda x, y: ~(x | y)),
+    ("andny", gates.gate_andny, lambda x, y: ~x & y),
+    ("andyn", gates.gate_andyn, lambda x, y: x & ~y),
+    ("orny", gates.gate_orny, lambda x, y: ~x | y),
+    ("oryn", gates.gate_oryn, lambda x, y: x | ~y),
+]
+
+
+@pytest.fixture(scope="module")
+def keys80():
+    return tt.make_key_pair(jax.random.PRNGKey(123), tt.tfhe_parameters_80())
+
+
+@pytest.fixture(scope="module")
+def enc80(keys80):
+    sk, _ = keys80
+    xs = jnp.asarray([False, False, True, True], bool)
+    ys = jnp.asarray([False, True, False, True], bool)
+    return (
+        tt.encrypt(jax.random.PRNGKey(1), sk, xs),
+        tt.encrypt(jax.random.PRNGKey(2), sk, ys),
+        np.asarray(xs),
+        np.asarray(ys),
+    )
+
+
+@pytest.mark.parametrize("name,gate,ref", GATES_2IN, ids=[g[0] for g in GATES_2IN])
+def test_gate_truth_table_80(keys80, enc80, name, gate, ref):
+    """Reference: test/runtests.jl:26-40 (exhaustive table, default preset)."""
+    sk, ck = keys80
+    ct_x, ct_y, xs, ys = enc80
+    out = tt.decrypt(sk, gate(ck, ct_x, ct_y))
+    np.testing.assert_array_equal(np.asarray(out), ref(xs, ys), err_msg=name)
+
+
+def test_not_and_constant_80(keys80, enc80):
+    sk, ck = keys80
+    ct_x, _, xs, _ = enc80
+    out = tt.decrypt(sk, gates.gate_not(ck, ct_x))
+    np.testing.assert_array_equal(np.asarray(out), ~xs)
+    const = gates.gate_constant(ck, jnp.asarray([True, False], bool))
+    np.testing.assert_array_equal(np.asarray(tt.decrypt(sk, const)),
+                                  [True, False])
+
+
+def test_mux_truth_table_80(keys80):
+    """All 8 input combinations of the 3-input MUX at production size
+    (reference: test/runtests.jl:8-21 lists mux in the same table)."""
+    sk, ck = keys80
+    a = jnp.asarray([False] * 4 + [True] * 4, bool)
+    b = jnp.asarray(([False] * 2 + [True] * 2) * 2, bool)
+    c = jnp.asarray([False, True] * 4, bool)
+    ct_a = tt.encrypt(jax.random.PRNGKey(3), sk, a)
+    ct_b = tt.encrypt(jax.random.PRNGKey(4), sk, b)
+    ct_c = tt.encrypt(jax.random.PRNGKey(5), sk, c)
+    out = tt.decrypt(sk, gates.gate_mux(ck, ct_a, ct_b, ct_c))
+    want = np.where(np.asarray(a), np.asarray(b), np.asarray(c))
+    np.testing.assert_array_equal(np.asarray(out), want)
+
+
+def test_nand_truth_table_128():
+    """Reference: test/runtests.jl:43-57 (128-bit preset, NAND only)."""
+    params = tt.tfhe_parameters_128()
     sk, ck = tt.make_key_pair(jax.random.PRNGKey(123), params)
     xs = jnp.asarray([False, False, True, True], bool)
     ys = jnp.asarray([False, True, False, True], bool)

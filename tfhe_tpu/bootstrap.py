@@ -50,7 +50,7 @@ def _default_block(poly_degree: int) -> int:
     data_fields=["baked"],
     meta_fields=[
         "decomp_length", "log2_base", "polynomial_degree", "mask_size",
-        "block", "depth",
+        "block", "depth", "noise_stddev",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +79,7 @@ class BootstrapKey:
     mask_size: int
     block: int
     depth: int = 0
+    noise_stddev: float = 0.0  # keygen sigma, feeds the honest cv model
 
     @property
     def n(self) -> int:
@@ -104,7 +105,8 @@ def bootstrap_key_gen(rng, alpha: float, lwe_key, tlwe_key,
     gsw = tgsw_encrypt(
         rng, lwe_key, alpha, tlwe_key, decomp_length, log2_base, batch_shape=(n,)
     )  # [n, l, k+1, k+1, N]
-    return bootstrap_key_from_raw(gsw, decomp_length, log2_base, block)
+    return bootstrap_key_from_raw(gsw, decomp_length, log2_base, block,
+                                  noise_stddev=alpha)
 
 
 def _default_depth() -> int:
@@ -122,7 +124,8 @@ def _default_depth() -> int:
 
 def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int,
                            block: int | None = None,
-                           depth: int | None = None) -> BootstrapKey:
+                           depth: int | None = None,
+                           noise_stddev: float = 0.0) -> BootstrapKey:
     """Bake a key from raw coefficient-domain TGSW samples
     (gsw: int32[n, l, k+1, k+1, N]) — also used by oracle-equivalence tests."""
     from .ops.conv import bake_block_toeplitz
@@ -140,7 +143,7 @@ def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int,
         baked = bake_block_toeplitz(limbs, t)
     return BootstrapKey(
         baked, decomp_length, log2_base, poly_degree, gsw.shape[-2] - 1, t,
-        depth,
+        depth, noise_stddev,
     )
 
 
@@ -271,7 +274,12 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
 
     bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)  # [n, B]
     out_a, _ = jax.lax.scan(step, accum.a, (bk.baked, bara_t))
-    return TLweSample(out_a, accum.cv)
+    from .noise import blind_rotate_var
+
+    cv = accum.cv + blind_rotate_var(
+        bk.n, bk.mask_size, l, b, bk.polynomial_degree, bk.noise_stddev
+    )
+    return TLweSample(out_a, cv)
 
 
 def blind_rotate_and_extract(v, bk: BootstrapKey, barb, bara) -> LweSample:

@@ -28,7 +28,8 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["table_limbs"],
-    meta_fields=["n_in", "n_out", "decomp_length", "log2_base"],
+    meta_fields=["n_in", "n_out", "decomp_length", "log2_base",
+                 "noise_stddev"],
 )
 @dataclasses.dataclass(frozen=True)
 class KeyswitchKey:
@@ -46,6 +47,7 @@ class KeyswitchKey:
     n_out: int
     decomp_length: int
     log2_base: int
+    noise_stddev: float = 0.0  # keygen sigma, feeds the honest cv model
 
 
 def prepare_keyswitch_table(ks_a, ks_b, n_out: int) -> jax.Array:
@@ -62,7 +64,8 @@ def prepare_keyswitch_table(ks_a, ks_b, n_out: int) -> jax.Array:
 
 
 def keyswitch_key_core(in_key, out_key, a_uniform, noise_t32,
-                       decomp_length: int, log2_base: int) -> KeyswitchKey:
+                       decomp_length: int, log2_base: int,
+                       noise_stddev: float = 0.0) -> KeyswitchKey:
     """Deterministic keyswitch keygen with injected randomness.
 
     in_key: int32[n_in] (extracted TLWE key); out_key: int32[n_out];
@@ -82,7 +85,7 @@ def keyswitch_key_core(in_key, out_key, a_uniform, noise_t32,
     b = b + jnp.sum(a_uniform * out_key, axis=-1, dtype=jnp.int32)
     return KeyswitchKey(
         prepare_keyswitch_table(a_uniform, b, n_out),
-        n_in, n_out, decomp_length, log2_base,
+        n_in, n_out, decomp_length, log2_base, noise_stddev,
     )
 
 
@@ -104,7 +107,7 @@ def keyswitch_key_gen(rng, alpha: float, in_key, out_key,
     a = rand_uniform_torus32(rng_a, (base - 1, decomp_length, n_in, n_out))
     return keyswitch_key_core(
         in_key, out_key, a, dtot32(noise.transpose(2, 1, 0)),
-        decomp_length, log2_base,
+        decomp_length, log2_base, noise_stddev=alpha,
     )
 
 
@@ -148,4 +151,7 @@ def keyswitch(ks: KeyswitchKey, sample: LweSample) -> LweSample:
 
     a_out = -acc[..., : ks.n_out]
     b_out = sample.b - acc[..., ks.n_out]
-    return LweSample(a_out, b_out, sample.cv)
+    from .noise import keyswitch_var
+
+    cv = sample.cv + keyswitch_var(ks.n_in, l, b, ks.noise_stddev)
+    return LweSample(a_out, b_out, cv)

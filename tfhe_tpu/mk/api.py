@@ -171,6 +171,7 @@ def make_mk_cloud_key(parts) -> MKCloudKey:
     bk = mk_bootstrap_key(
         [p.key_uni_enc for p in parts], pk_bs,
         params.bs_decomp_length, params.bs_log2_base,
+        noise_stddev=params.bs_noise_stddev,
     )
     return MKCloudKey(params, parties, bk, tuple(p.keyswitch_key for p in parts))
 

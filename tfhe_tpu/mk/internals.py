@@ -108,7 +108,7 @@ def mk_tlwe_extract_sample(sample: TLweSample) -> MKLweSample:
     """
     rev = polynomial.reverse_polynomial(sample.mask)  # [..., parties, N]
     b = sample.body[..., 0]
-    return MKLweSample(rev, b, jnp.zeros(b.shape, jnp.float32))
+    return MKLweSample(rev, b, jnp.broadcast_to(sample.cv, b.shape))
 
 
 # --- Shared / public keys (reference: src/mk_internals.jl:101-139) ---
@@ -340,7 +340,8 @@ def mk_keyswitch(ks_keys, sample: MKLweSample) -> MKLweSample:
         parts.append(part)
     a_out = jnp.stack([p.a for p in parts], axis=-2)  # [..., parties, n_out]
     b_out = sample.b + sum(p.b for p in parts)
-    return MKLweSample(a_out, b_out, sample.cv)
+    # each per-party keyswitch adds its own honest variance (noise.py)
+    return MKLweSample(a_out, b_out, sample.cv + sum(p.cv for p in parts))
 
 
 # --- MK bootstrap (reference: src/mk_internals.jl:414-515) ---
@@ -350,7 +351,7 @@ def mk_keyswitch(ks_keys, sample: MKLweSample) -> MKLweSample:
     jax.tree_util.register_dataclass,
     data_fields=["limbs"],
     meta_fields=["parties", "lwe_size", "decomp_length", "log2_base",
-                 "polynomial_degree", "block"],
+                 "polynomial_degree", "block", "noise_stddev"],
 )
 @dataclasses.dataclass(frozen=True)
 class MKBootstrapKey:
@@ -375,6 +376,7 @@ class MKBootstrapKey:
     log2_base: int
     polynomial_degree: int
     block: int = 0
+    noise_stddev: float = 0.0  # party keygen sigma, feeds the honest cv model
 
 
 def _mk_bake_block(steps: int, p: int, kk: int, n: int,
@@ -393,7 +395,8 @@ def _mk_bake_block(steps: int, p: int, kk: int, n: int,
 
 
 def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
-                     log2_base: int) -> MKBootstrapKey:
+                     log2_base: int,
+                     noise_stddev: float = 0.0) -> MKBootstrapKey:
     """Server-side expansion of all parties' uni-encrypted key bits.
 
     parts_ue: list of `parties` MKTGswUESample batches [n, 6, l, N];
@@ -420,7 +423,7 @@ def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
     if t:
         limbs = conv.bake_block_toeplitz(limbs, t)
     return MKBootstrapKey(
-        limbs, parties, n_lwe, decomp_length, log2_base, n, t
+        limbs, parties, n_lwe, decomp_length, log2_base, n, t, noise_stddev
     )
 
 
@@ -462,9 +465,14 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
             delta = tgsw_extern_mul_prepared(temp, limbs_i, l, b)
             return acc_a + delta.a, None
 
+    from ..noise import mk_blind_rotate_var
+
+    cv_out = accum.cv + mk_blind_rotate_var(
+        bk.parties, bk.lwe_size, l, b, bk.polynomial_degree, bk.noise_stddev
+    )
     if segments <= 1:
         out_a, _ = jax.lax.scan(step, accum.a, (bk.limbs, bara_t))
-        return TLweSample(out_a, accum.cv)
+        return TLweSample(out_a, cv_out)
 
     @jax.jit
     def run_segment(acc_a, limbs_seg, bara_seg):
@@ -477,7 +485,7 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
         acc_a = run_segment(
             acc_a, bk.limbs[s0 : s0 + seg_len], bara_t[s0 : s0 + seg_len]
         )
-    return TLweSample(acc_a, accum.cv)
+    return TLweSample(acc_a, cv_out)
 
 
 def mk_blind_rotate_and_extract(v, bk: MKBootstrapKey, barb, bara,

@@ -1,0 +1,91 @@
+"""Analytic noise-variance model: makes `cv` bookkeeping honest.
+
+The reference carries `current_variance` on every sample but leaves it
+unmaintained through the key operations (TODO issue #7 markers at
+src/tlwe.jl:58,104,109, src/tgsw.jl:67, src/mk_internals.jl:94,343,389) and
+never reads it. This framework ships noise telemetry as a feature, so the
+field is propagated for real: the formulas below are the standard TFHE
+variance bounds (CGGI16 external-product/keyswitch analysis; MK chain
+derived and validated against a 300-gate float64 Monte-Carlo in
+docs/mk_noise_budget.md).
+
+All variances are in torus units (fractions of 1, squared). They use the
+NOMINAL sampling stddev; the trunc discretization of `dtot32` only shrinks
+actual noise (conservative direction). Predicted-vs-measured agreement is
+asserted by tests/test_noise_model.py.
+"""
+
+from __future__ import annotations
+
+
+def extern_product_var(mask_size: int, decomp_length: int, log2_base: int,
+                       poly_degree: int, sigma_bk: float) -> float:
+    """Phase-variance added by one TGSW external product (one CMUX step).
+
+    Two terms: digit-times-key-noise ((k+1)*l*N * E[dig^2] * sigma^2 with
+    digits ~uniform on [-B/2, B/2)), and the gadget rounding of the
+    decomposed operand against the (binary) key (eps = B^-l / 2).
+    Reference op: src/tgsw.jl:125-129.
+    """
+    k1 = mask_size + 1
+    e_dig2 = (1 << (2 * log2_base)) / 12.0
+    eps = 2.0 ** -(decomp_length * log2_base + 1)
+    return (k1 * decomp_length * poly_degree * e_dig2 * sigma_bk**2
+            + (1 + mask_size * poly_degree / 2.0) * eps * eps)
+
+
+def blind_rotate_var(n_steps: int, mask_size: int, decomp_length: int,
+                     log2_base: int, poly_degree: int,
+                     sigma_bk: float) -> float:
+    """n accumulated CMUX steps (src/bootstrap.jl:32-39); steps with
+    bara == 0 add exactly zero, but their expected fraction is 1/2N —
+    negligible, so the bound keeps the full n."""
+    return n_steps * extern_product_var(
+        mask_size, decomp_length, log2_base, poly_degree, sigma_bk)
+
+
+def keyswitch_var(n_in: int, decomp_length: int, log2_base: int,
+                  sigma_ks: float) -> float:
+    """Keyswitch-added variance: one fresh table sample subtracted per
+    nonzero digit (expected fraction (base-1)/base), plus the
+    round-to-l*b-bits error carried through the binary in-key.
+    Reference op: src/keyswitch.jl:45-80.
+    """
+    base = 1 << log2_base
+    nonzero = (base - 1) / base
+    round_err = 2.0 ** -(decomp_length * log2_base + 1)
+    return (n_in * decomp_length * nonzero * sigma_ks**2
+            + n_in * 0.5 * round_err * round_err / 3.0)
+
+
+def mk_expand_var(parties: int, decomp_length: int, log2_base: int,
+                  poly_degree: int, sigma: float) -> float:
+    """Noise variance of an expanded MK-TGSW column (x_ij, i != party):
+    d0's fresh noise + <g^-1(pk diff), f0-noise>.
+    Reference op: src/mk_internals.jl:304-345; docs/mk_noise_budget.md.
+    """
+    e_dig2 = (1 << (2 * log2_base)) / 12.0
+    return sigma**2 * (1 + decomp_length * poly_degree * e_dig2)
+
+
+def mk_extern_product_var(parties: int, decomp_length: int, log2_base: int,
+                          poly_degree: int, sigma: float) -> float:
+    """One MK CMUX step: (parties-1) mask columns carry expanded noise, the
+    party's own column and the body carry fresh noise.
+    Reference op: src/mk_internals.jl:348-391; validated in
+    docs/mk_noise_budget.md (predicted 0.054 vs Monte-Carlo 0.0513 on the
+    2-party preset over the full rotation)."""
+    e_dig2 = (1 << (2 * log2_base)) / 12.0
+    v_exp = mk_expand_var(parties, decomp_length, log2_base, poly_degree,
+                          sigma)
+    eps = 2.0 ** -(decomp_length * log2_base + 1)
+    return (decomp_length * poly_degree * e_dig2
+            * ((parties - 1) * v_exp + 2 * sigma**2)
+            + (1 + parties * poly_degree / 2.0) * eps * eps)
+
+
+def mk_blind_rotate_var(parties: int, lwe_size: int, decomp_length: int,
+                        log2_base: int, poly_degree: int,
+                        sigma: float) -> float:
+    return parties * lwe_size * mk_extern_product_var(
+        parties, decomp_length, log2_base, poly_degree, sigma)

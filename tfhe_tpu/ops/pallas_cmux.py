@@ -199,7 +199,8 @@ def _fused_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
 
     cp_in = pltpu.make_async_copy(
         acc_hbm.at[pl.ds(c * bt, bt)], acc_ref, sem_io)
-    cp_in.start()
+    if "io" not in ablate:
+        cp_in.start()
 
     shift2 = jnp.mod(bara_ref[...], 2 * n)
     shift1 = shift2 & (n - 1)
@@ -208,7 +209,8 @@ def _fused_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
     mask = jnp.int32((1 << b) - 1)
     half = jnp.int32(1 << (b - 1))
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    cp_in.wait()
+    if "io" not in ablate:
+        cp_in.wait()
 
     # --- rotate + decompose into dig_ref [BT, M*PT], lane order (i, j, i_l, u)
     # (cacc_ref's first N lanes double as the barrel scratch; zeroed later)
@@ -256,11 +258,12 @@ def _fused_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
             sem.at[li % 2],
         )
 
-    e_dma(0).start()
     cacc_ref[...] = jnp.zeros(cacc_ref.shape, jnp.int32)
     n_leaves = len(leaf_dots)
     if "dots" in ablate:
         leaf_dots = leaf_dots[:0]
+    else:
+        e_dma(0).start()
     for li, (e_row, L, lhs_descs, contribs) in enumerate(leaf_dots):
         if li + 1 < n_leaves and "dma" not in ablate:
             e_dma(li + 1).start()
@@ -313,10 +316,11 @@ def _fused_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
                 acc_ref[:, k, i * t: (i + 1) * t]
                 + cacc_ref[:, i * kt + k * t: i * kt + (k + 1) * t]
             )
-    cp_out = pltpu.make_async_copy(
-        acc_ref, out_hbm.at[pl.ds(c * bt, bt)], sem_io)
-    cp_out.start()
-    cp_out.wait()
+    if "io" not in ablate:
+        cp_out = pltpu.make_async_copy(
+            acc_ref, out_hbm.at[pl.ds(c * bt, bt)], sem_io)
+        cp_out.start()
+        cp_out.wait()
 
 
 def _pick_tile(b_sz: int, target: int) -> int:

@@ -68,7 +68,9 @@ def tlwe_extract_sample(sample: TLweSample) -> LweSample:
     rev = polynomial.reverse_polynomial(sample.mask)  # [..., k, N]
     a = rev.reshape(rev.shape[:-2] + (rev.shape[-2] * rev.shape[-1],))
     b = sample.body[..., 0]
-    return LweSample(a, b, jnp.zeros(b.shape, jnp.float32))
+    # extraction is exact: the constant coefficient's variance is the
+    # ring sample's variance (reference leaves this 0.0, issue #7)
+    return LweSample(a, b, jnp.broadcast_to(sample.cv, b.shape))
 
 
 def tlwe_encrypt_zero_core(a_part, noise_t32, key) -> TLweSample:
