@@ -6,6 +6,7 @@ oracle-exact).
 """
 
 import numpy as np
+import jax.numpy as jnp
 import pytest
 
 import tfhe_tpu.bootstrap as bs
@@ -70,6 +71,38 @@ def test_cmux_step_pallas_karatsuba_matches_xla(rng, n, l, b, t, batch, depth):
     want = bs.mux_rotate_karatsuba(acc, bk.baked[0], bara, l, b, t, bk.plan)
     got = cmux_step_pallas_karatsuba(
         acc, bk.baked[0], bara,
+        n=n, k1=k1, l=l, b=b, t=t, plan=bk.plan,
+        offset=decomp_offset(l, b), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize(
+    "n,l,b,t,depth",
+    [
+        (256, 3, 7, 32, 2),   # M=8, depth 2
+        (256, 3, 7, 32, 3),   # M=8, full depth
+        (256, 2, 10, 32, 2),  # 80-bit-style two-limb digits
+    ],
+)
+def test_blind_rotate_megakernel_matches_xla(rng, n, l, b, t, depth):
+    """Whole-rotation megakernel (interpret) == XLA Karatsuba scan, bitwise."""
+    from tfhe_tpu.ops.pallas_cmux import blind_rotate_pallas_karatsuba
+
+    k1, n_lwe, batch = 2, 5, 4
+    gsw = rand_t32(rng, (n_lwe, l, k1, k1, n))
+    bk = bs.bootstrap_key_from_raw(gsw, l, b, block=t, depth=depth)
+    acc0 = rand_t32(rng, (batch, k1, n))
+    bara = rng.integers(0, 2 * n, size=(batch, n_lwe)).astype(np.int32)
+    bara[0, 0] = 0  # no-op lane
+
+    want = acc0
+    for s in range(n_lwe):
+        want = bs.mux_rotate_karatsuba(
+            want, bk.baked[s], bara[:, s], l, b, t, bk.plan)
+
+    got = blind_rotate_pallas_karatsuba(
+        acc0, bk.baked, jnp.asarray(bara).T,
         n=n, k1=k1, l=l, b=b, t=t, plan=bk.plan,
         offset=decomp_offset(l, b), interpret=True,
     )

@@ -67,7 +67,8 @@ def test_not_and_constant_80(keys80, enc80):
     ct_x, _, xs, _ = enc80
     out = tt.decrypt(sk, gates.gate_not(ck, ct_x))
     np.testing.assert_array_equal(np.asarray(out), ~xs)
-    const = gates.gate_constant(ck, jnp.asarray([True, False], bool))
+    const = gates.gate_constant(ck, jnp.asarray([True, False], bool),
+                                batch_shape=(2,))
     np.testing.assert_array_equal(np.asarray(tt.decrypt(sk, const)),
                                   [True, False])
 

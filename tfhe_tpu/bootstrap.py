@@ -112,14 +112,15 @@ def bootstrap_key_gen(rng, alpha: float, lwe_key, tlwe_key,
 def _default_depth() -> int:
     """Karatsuba depth for new bootstrap keys (env TFHE_TPU_KARATSUBA_DEPTH).
 
-    Depth 2 cuts super-block MACs to 40/64 with an 18/16-row bake (~1.1x the
-    dense key bytes); depth 3 reaches 34/64 at 27/16 rows. Default stays 0
-    (dense) until the fused Pallas kernel consumes the Karatsuba layout —
-    the XLA scatter-add reconstruction is not the production path.
+    Depth 2 is the default: 40/64 of the dense super-block MACs with an
+    18/16-row bake, measured 6,745 gates/s on the chip via the fused
+    megakernel vs 4,731 dense (round 1). Depth 3 (34/64 MACs, 27/16 rows)
+    measures slower (6,520 even at 9 DMA slots: more, smaller dots); depth 0
+    keeps the dense block-Toeplitz path.
     """
     import os
 
-    return int(os.environ.get("TFHE_TPU_KARATSUBA_DEPTH", "0"))
+    return int(os.environ.get("TFHE_TPU_KARATSUBA_DEPTH", "2"))
 
 
 def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int,
@@ -229,24 +230,28 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
     if bk.depth:
         plan = bk.plan
         if _use_pallas_cmux() and (interpret or t == 128):
-            from .ops.pallas_cmux import cmux_step_pallas_karatsuba
+            from .ops.pallas_cmux import blind_rotate_pallas_karatsuba
+            from .noise import blind_rotate_var
             from .tgsw import decomp_offset
 
-            offset = decomp_offset(l, b)
+            # ONE kernel launch for the whole rotation (megakernel): the
+            # accumulator stays in VMEM across all n steps per batch cell.
+            bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)
+            out_a = blind_rotate_pallas_karatsuba(
+                accum.a, bk.baked, bara_t,
+                n=bk.polynomial_degree, k1=bk.mask_size + 1, l=l, b=b, t=t,
+                plan=plan, offset=decomp_offset(l, b), interpret=interpret,
+            )
+            cv = accum.cv + blind_rotate_var(
+                bk.n, bk.mask_size, l, b, bk.polynomial_degree,
+                bk.noise_stddev,
+            )
+            return TLweSample(out_a, cv)
 
-            def step(acc_a, xs):
-                e_i, bara_i = xs
-                out = cmux_step_pallas_karatsuba(
-                    acc_a, e_i, bara_i,
-                    n=bk.polynomial_degree, k1=bk.mask_size + 1, l=l, b=b,
-                    t=t, plan=plan, offset=offset, interpret=interpret,
-                )
-                return out, None
-        else:
-            def step(acc_a, xs):
-                e_i, bara_i = xs
-                return mux_rotate_karatsuba(
-                    acc_a, e_i, bara_i, l, b, t, plan), None
+        def step(acc_a, xs):
+            e_i, bara_i = xs
+            return mux_rotate_karatsuba(
+                acc_a, e_i, bara_i, l, b, t, plan), None
     # Compiled Mosaic kernels need lane-aligned blocks (T == 128); interpret
     # mode (CPU differential tests) has no such constraint.
     elif _use_pallas_cmux() and (interpret or t == 128):

@@ -323,6 +323,268 @@ def _fused_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
         cp_out.wait()
 
 
+def _rotate_decompose_body(acc_ref, cacc_ref, dig_ref, bara_row, *, n, k1, l,
+                           b, t, offset, dig_i32):
+    """Shared rotate+decompose: digits of (X^bara - 1) * acc into dig_ref.
+
+    bara_row: int32[BT] values in [0, 2N). cacc_ref's first N lanes are the
+    barrel scratch (caller zeroes cacc afterwards).
+    """
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    shift2 = jnp.mod(bara_row[:, None], 2 * n)
+    shift1 = shift2 & (n - 1)
+    wrap = shift2 >= n
+    stages = (n - 1).bit_length()
+    mask = jnp.int32((1 << b) - 1)
+    half = jnp.int32(1 << (b - 1))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    for j in range(k1):
+        row = acc_ref[:, j, :]
+        cacc_ref[:, 0:n] = row
+        for s in range(stages):
+            cur = cacc_ref[:, 0:n]
+            rolled = pltpu.roll(cur, 1 << s, axis=1)
+            take = (shift1 >> s) & 1
+            cacc_ref[:, 0:n] = jnp.where(take != 0, rolled, cur)
+        flip = (col >= shift1) ^ (~wrap)
+        rotated = jnp.where(flip, -cacc_ref[:, 0:n], cacc_ref[:, 0:n])
+        shifted = rotated - row + jnp.int32(offset)
+        for i_l in range(l):
+            d = ((shifted >> (32 - (i_l + 1) * b)) & mask) - half
+            for i in range(m):
+                seg = slice(i * pt + (j * l + i_l) * t,
+                            i * pt + (j * l + i_l + 1) * t)
+                blk = d[:, i * t: (i + 1) * t]
+                dig_ref[:, seg] = blk if dig_i32 else blk.astype(jnp.int8)
+
+
+def _combo_body(dig_ref, dcomb_ref, combo_writes, pt):
+    """Digit combos: int32 sums of digit blocks -> exact int8 limb splits."""
+    for dst_row, src_blocks, shifts, leaf_len in combo_writes:
+        comb = dig_ref[:, src_blocks[0] * pt: (src_blocks[0] + 1) * pt]
+        comb = comb.astype(jnp.int32)
+        for blk in src_blocks[1:]:
+            comb = comb + dig_ref[:, blk * pt: (blk + 1) * pt].astype(jnp.int32)
+        if len(shifts) == 1:
+            dcomb_ref[:, dst_row * pt: (dst_row + 1) * pt] = comb.astype(
+                jnp.int8)
+        else:
+            lo = ((comb & 127) ^ 64) - 64
+            hi = (comb - lo) >> 7
+            dcomb_ref[:, dst_row * pt: (dst_row + 1) * pt] = lo.astype(jnp.int8)
+            r2 = dst_row + leaf_len
+            dcomb_ref[:, r2 * pt: (r2 + 1) * pt] = hi.astype(jnp.int8)
+
+
+def _leaf_dots_body(dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf_dots, *,
+                    k1, t, pt, m, dig_i32, slot_of, wait_leaf, start_next):
+    """All leaf dots + limb recombine + fold/scatter for one step.
+
+    slot_of(li) -> ebuf slot; wait_leaf(li) waits for that leaf's DMA;
+    start_next(li) kicks off the following leaf's DMA (cross-step capable).
+    """
+    kt = k1 * t
+    for li, (e_row, L, lhs_descs, contribs) in enumerate(leaf_dots):
+        start_next(li)
+        wait_leaf(li)
+        slot = slot_of(li)
+        for o in range(2 * L - 1):
+            i0, i1 = max(0, o - L + 1), min(L - 1, o)
+            width = (i1 - i0 + 1) * pt
+            rhs = ebuf_ref[slot, pl.ds((L - 1 - o + i0) * pt, width)]
+            rec = None
+            for buf_id, row0, d_shift in lhs_descs:
+                src = dcomb_ref if buf_id else dig_ref
+                lhs = src[:, (row0 + i0) * pt: (row0 + i0) * pt + width]
+                if dig_i32 and buf_id == 0:
+                    lhs = lhs.astype(jnp.int8)
+                prod = lax.dot_general(
+                    lhs, rhs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                if d_shift:
+                    prod = prod << d_shift
+                rec = prod if rec is None else rec + prod
+            word = None
+            for k in range(k1):
+                wk = rec[:, (k * 4) * t: (k * 4 + 1) * t]
+                for limb in range(1, 4):
+                    wk = wk + (
+                        rec[:, (k * 4 + limb) * t: (k * 4 + limb + 1) * t]
+                        << (8 * limb)
+                    )
+                word = wk if word is None else jnp.concatenate(
+                    [word, wk], axis=-1)
+            for off, sgn in contribs:
+                pos = off + o
+                if pos >= 2 * m - 1:
+                    continue
+                sgn_f = sgn if pos < m else -sgn
+                posm = pos % m
+                cur = cacc_ref[:, posm * kt: (posm + 1) * kt]
+                cacc_ref[:, posm * kt: (posm + 1) * kt] = (
+                    cur + word if sgn_f == 1 else cur - word
+                )
+
+
+def _blind_rotate_megakernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
+                             dig_ref, dcomb_ref, ebuf_ref, cacc_ref, sem,
+                             sem_io, *, n, k1, l, b, t, offset, combo_writes,
+                             leaf_dots, dig_i32, n_steps, n_slots):
+    """The FULL blind rotation in one kernel launch: grid over batch cells,
+    fori_loop over the n CMUX steps inside, the accumulator resident in VMEM
+    for the whole rotation (one HBM round-trip per cell total, vs one per
+    step for the per-step kernel), key leaves streamed with double buffering
+    that crosses step boundaries.
+    """
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    bt = acc_ref.shape[0]
+    c = pl.program_id(0)
+    n_leaves = len(leaf_dots)
+
+    cp_in = pltpu.make_async_copy(
+        acc_hbm.at[pl.ds(c * bt, bt)], acc_ref, sem_io)
+    cp_in.start()
+
+    def e_dma(step, li, slot):
+        e_row, L, _, _ = leaf_dots[li]
+        return pltpu.make_async_copy(
+            e_hbm.at[step, pl.ds(e_row * pt, L * pt)],
+            ebuf_ref.at[slot, pl.ds(0, L * pt)],
+            sem.at[slot],
+        )
+
+    # warm-up: first n_slots-1 leaves of step 0 (slot = li % n_slots,
+    # consistent with the static assignment since n_slots divides n_leaves)
+    if n_slots > 1:
+        for li in range(n_slots - 1):
+            e_dma(0, li % n_leaves, li % n_slots).start()
+    cp_in.wait()
+
+    def step_body(s, _):
+        # n_slots divides n_leaves, so slot assignment is STATIC (li % slots)
+        # and consistent across step boundaries — the prefetch n_slots ahead
+        # in the global leaf stream lands exactly in the slot being freed.
+        def slot_of(li):
+            return li % n_slots
+
+        def wait_leaf(li):
+            if n_slots == 1:  # degenerate: serial start+wait per leaf
+                e_dma(s, li, 0).start()
+            e_dma(s, li, slot_of(li)).wait()
+
+        def start_next(li):
+            if n_slots == 1:
+                return  # no lookahead possible with a single slot
+            # lookahead n_slots-1: the target slot held leaf li-1, whose
+            # dots are already done — prefetching n_slots ahead would land
+            # in the slot THIS leaf is about to read (a DMA/compute race)
+            ahead = li + n_slots - 1
+            nli = ahead % n_leaves
+            ns = s + ahead // n_leaves
+
+            @pl.when(ns < n_steps)
+            def _():
+                e_dma(ns, nli, slot_of(ahead)).start()
+
+        bara_row = bara_ref[s, :]
+        _rotate_decompose_body(
+            acc_ref, cacc_ref, dig_ref, bara_row,
+            n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32)
+        _combo_body(dig_ref, dcomb_ref, combo_writes, pt)
+        cacc_ref[...] = jnp.zeros(cacc_ref.shape, jnp.int32)
+        _leaf_dots_body(
+            dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf_dots,
+            k1=k1, t=t, pt=pt, m=m, dig_i32=dig_i32,
+            slot_of=slot_of, wait_leaf=wait_leaf, start_next=start_next)
+        kt = k1 * t
+        for k in range(k1):
+            for i in range(m):
+                acc_ref[:, k, i * t: (i + 1) * t] = (
+                    acc_ref[:, k, i * t: (i + 1) * t]
+                    + cacc_ref[:, i * kt + k * t: i * kt + (k + 1) * t]
+                )
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step_body, 0)
+    cp_out = pltpu.make_async_copy(
+        acc_ref, out_hbm.at[pl.ds(c * bt, bt)], sem_io)
+    cp_out.start()
+    cp_out.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k1", "l", "b", "t", "plan", "offset", "interpret",
+                     "btk"),
+)
+def blind_rotate_pallas_karatsuba(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
+                                  offset, interpret=False, btk=None):
+    """Whole blind rotation (all steps) as ONE fused Pallas launch.
+
+    acc: int32[B, k1, N]; e_all: int8[n_steps, total_rows*P*T, K*4*T]
+    (bake_karatsuba); bara_t: int32[n_steps, B] in [0, 2N).
+    Bit-exact vs scanning cmux_step_pallas_karatsuba / the XLA path.
+    """
+    assert n & (n - 1) == 0, f"polynomial degree must be a power of 2, got {n}"
+    b_sz = acc.shape[0]
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    cols = k1 * 4 * t
+    n_steps = e_all.shape[0]
+
+    combo_writes, leaf_dots, comb_rows = _kernel_plan(plan, p, t)
+    max_l = max(L for _, L, _, _ in leaf_dots)
+    dig_i32 = b > 8
+    # bt=128: all scratch + Mosaic stack temps fit the 16M scoped VMEM at
+    # every depth; per-step key re-streaming at 32 cells measured ~0.08 ms
+    # (fully hidden behind the dots)
+    bt = _pick_tile(b_sz, btk or _env_tile("TFHE_TPU_BTK", 128))
+    n_leaves = len(leaf_dots)
+    # slots must divide the leaf count so slot assignment stays static and
+    # step-boundary-consistent (plans have 3^depth leaves -> 3 divides)
+    want_slots = _env_tile("TFHE_TPU_ESLOTS", 3)
+    n_slots = 1
+    for cand in range(min(want_slots, n_leaves), 0, -1):
+        if n_leaves % cand == 0:
+            n_slots = cand
+            break
+
+    fn = functools.partial(
+        _blind_rotate_megakernel,
+        n=n, k1=k1, l=l, b=b, t=t, offset=offset,
+        combo_writes=combo_writes, leaf_dots=leaf_dots, dig_i32=dig_i32,
+        n_steps=n_steps, n_slots=n_slots,
+    )
+    return pl.pallas_call(
+        fn,
+        out_shape=jax.ShapeDtypeStruct((b_sz, k1, n), jnp.int32),
+        grid=(b_sz // bt,),
+        in_specs=[
+            pl.BlockSpec((n_steps, bt), lambda c: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # acc: manual DMA per cell
+            pl.BlockSpec(memory_space=pl.ANY),  # baked key, streamed
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # manual DMA per cell
+        scratch_shapes=[
+            pltpu.VMEM((bt, k1, n), jnp.int32),  # acc tile
+            pltpu.VMEM((bt, m * pt), jnp.int32 if dig_i32 else jnp.int8),
+            pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),
+            pltpu.VMEM((n_slots, max_l * pt, cols), jnp.int8),
+            pltpu.VMEM((bt, m * k1 * t), jnp.int32),  # cacc (+rotate scratch)
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(bara_t, acc, e_all)
+
+
 def _pick_tile(b_sz: int, target: int) -> int:
     bt = min(b_sz, target)
     while b_sz % bt:

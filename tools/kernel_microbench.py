@@ -114,7 +114,7 @@ def ablation(reps=64):
     btk = int(os.environ.get("MB_BTK", "128"))
     bkk = bs.bootstrap_key_from_raw(gsw, l, b, block=t, depth=depth)
     ek = bkk.baked[0]
-    for ab in ((), ("rot",), ("dots",), ("rot", "dots"), ("dma",)):
+    for ab in ((), ("rot", "dots"), ("rot", "dots", "io")):
         def kara_step(a, bara_i, _ab=tuple(ab)):
             return cmux_step_pallas_karatsuba(
                 a, ek, bara_i, n=n, k1=k1, l=l, b=b, t=t,
