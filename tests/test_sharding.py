@@ -106,3 +106,37 @@ def test_mk_sharded_keys_bit_identical():
     np.testing.assert_array_equal(
         np.asarray(mk.mk_decrypt(sks, got)), np.ones(B, bool)
     )
+
+
+@pytest.mark.parametrize("data,model", [(2, 4), (4, 2), (1, 8)])
+def test_model_sharded_blind_rotate_bit_identical(toy_keys, data, model):
+    """Bootstrap key column-sharded over `model`: per-device key bytes are
+    1/model, per-step int32 psum reassembles the delta bit-exactly."""
+    import tfhe_tpu.bootstrap as bs
+    from tfhe_tpu.tlwe import TLweSample
+
+    params, sk, ck = toy_keys
+    bk = ck.bootstrap_key
+    if bk.depth == 0:
+        pytest.skip("model sharding targets the Karatsuba bake")
+    mesh = parallel.make_mesh(data, model)
+
+    rng = np.random.default_rng(5)
+    B = 16
+    n = params.tlwe_polynomial_degree
+    acc0 = rng.integers(-(2**31), 2**31, (B, 2, n), dtype=np.int64).astype(
+        np.int32
+    )
+    bara = rng.integers(0, 2 * n, (B, params.lwe_size)).astype(np.int32)
+
+    want = bs.blind_rotate(
+        TLweSample(jnp.asarray(acc0), jnp.zeros(B, jnp.float32)), bk, bara
+    ).a
+
+    bk_sharded = parallel.shard_bootstrap_key_model(bk, mesh)
+    local = bk_sharded.baked.addressable_shards[0].data
+    assert local.shape[-1] == bk.baked.shape[-1] // model  # 1/model key bytes
+
+    rotate = parallel.make_blind_rotate_model_sharded(mesh)
+    got = rotate(bk_sharded, jnp.asarray(acc0), jnp.asarray(bara))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

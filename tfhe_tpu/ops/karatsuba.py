@@ -253,6 +253,56 @@ def _digit_combos(digits, plan: KaratsubaPlan, t: int):
     return out
 
 
+def karatsuba_delta_cols(digits, e_cols, t: int, plan: KaratsubaPlan,
+                         group_ids, k_out: int):
+    """Partial CMUX delta from a COLUMN SHARD of the baked key.
+
+    e_cols: the column block of `bake_karatsuba` output holding the
+    (k, limb) groups listed in `group_ids` (each one T-column group, in
+    storage order). Returns int32[B, k_out, N] containing ONLY these groups'
+    limb-shifted contributions — summing the results over all groups (e.g.
+    with an int32 psum over a `model` mesh axis) reproduces
+    `karatsuba_delta` bit-exactly (int32 wraparound addition commutes).
+    This is the model-axis bootstrap-key sharding: per-device key bytes
+    scale as 1/model.
+    """
+    b, p, n = digits.shape
+    m = n // t
+    g_local = len(group_ids)
+    assert e_cols.shape[-1] == g_local * t
+    pt = p * t
+
+    d_ops = _digit_combos(digits, plan, t)
+    acc = jnp.zeros((b, m, g_local * t), _I32)
+    for lf, d_op in zip(plan.leaves, d_ops):
+        L = lf.length
+        base_row = lf.row_offset * pt
+        for o in range(2 * L - 1):
+            i0, i1 = max(0, o - L + 1), min(L - 1, o)
+            lhs = d_op[:, :, i0 * pt: (i1 + 1) * pt]
+            r0 = base_row + (L - 1 - o + i0) * pt
+            rhs = e_cols[r0: r0 + (i1 - i0 + 1) * pt]
+            prod = _i8_matmul(lhs.reshape(-1, lhs.shape[-1]), rhs)
+            prod = prod.reshape(len(lf.d_shifts), b, g_local * t)
+            rec = prod[0] if lf.d_shifts[0] == 0 else prod[0] << lf.d_shifts[0]
+            for s in range(1, len(lf.d_shifts)):
+                rec = rec + (prod[s] << lf.d_shifts[s])
+            for off, sgn in lf.contribs:
+                pos = off + o
+                if pos >= 2 * m - 1:
+                    continue
+                sgn_f = sgn if pos < m else -sgn
+                posm = pos % m
+                acc = acc.at[:, posm].add(rec if sgn_f == 1 else -rec)
+    out = jnp.zeros((b, k_out, m, t), _I32)
+    for gi, (k, limb) in enumerate(group_ids):
+        contrib = acc[:, :, gi * t: (gi + 1) * t]
+        if limb:
+            contrib = contrib << (8 * limb)
+        out = out.at[:, k].add(contrib)
+    return out.reshape(b, k_out, n)
+
+
 def karatsuba_delta(digits, e_step, t: int, plan: KaratsubaPlan):
     """CMUX delta = sum_p conv(digits[:, p], key[p, :]) via the block plan.
 

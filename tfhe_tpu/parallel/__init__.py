@@ -19,3 +19,10 @@ __all__ = [
 from .mesh import shard_mk_cloud_key, shard_mk_batch  # noqa: E402
 
 __all__ += ["shard_mk_cloud_key", "shard_mk_batch"]
+
+from .mesh import (  # noqa: E402
+    shard_bootstrap_key_model,
+    make_blind_rotate_model_sharded,
+)
+
+__all__ += ["shard_bootstrap_key_model", "make_blind_rotate_model_sharded"]

@@ -56,7 +56,7 @@ def shard_cloud_key(ck: CloudKey, mesh: Mesh) -> CloudKey:
     ks = ck.keyswitch_key
     ks = KeyswitchKey(
         jax.device_put(ks.table_limbs, rows),
-        ks.n_in, ks.n_out, ks.decomp_length, ks.log2_base,
+        ks.n_in, ks.n_out, ks.decomp_length, ks.log2_base, ks.noise_stddev,
     )
     return CloudKey(ck.params, bk, ks)
 
@@ -125,6 +125,7 @@ def make_bootstrap_sharded(mesh: Mesh, params):
             P("model", None),
             ck.keyswitch_key.n_in, ck.keyswitch_key.n_out,
             ck.keyswitch_key.decomp_length, ck.keyswitch_key.log2_base,
+            ck.keyswitch_key.noise_stddev,
         )
 
         @functools.partial(
@@ -150,6 +151,94 @@ def make_bootstrap_sharded(mesh: Mesh, params):
     return fn
 
 
+def shard_bootstrap_key_model(bk, mesh: Mesh):
+    """Shard a Karatsuba-baked bootstrap key's output columns over `model`.
+
+    The baked key's last dim is (k, limb, w)-major T-column groups
+    (k1*4 groups); sharding it over `model` puts per-device key bytes at
+    1/model — the model-axis partitioning of the transform dimension the
+    round-1 review flagged as missing (reference analogue: the FFT call at
+    src/polynomials.jl:111). Consumed by `make_blind_rotate_model_sharded`.
+    """
+    assert bk.depth > 0, "model sharding targets the Karatsuba bake"
+    from ..bootstrap import BootstrapKey
+
+    cols = NamedSharding(mesh, P(None, None, "model"))
+    return BootstrapKey(
+        jax.device_put(bk.baked, cols),
+        bk.decomp_length, bk.log2_base, bk.polynomial_degree, bk.mask_size,
+        bk.block, bk.depth, bk.noise_stddev,
+    )
+
+
+def make_blind_rotate_model_sharded(mesh: Mesh):
+    """SPMD blind rotation with the bootstrap key column-sharded on `model`.
+
+    Batch rides `data`; each model shard computes the partial CMUX delta of
+    its (k, limb) column groups and the shards meet in an int32 `psum` per
+    step — exact mod 2^32, so the result is bit-identical to the unsharded
+    rotation (asserted by tests/test_sharding.py). The per-step psum
+    ([B_local, k+1, N] words over ICI) buys 1/model per-device key HBM.
+
+    Returns f(bk, acc_a, bara) -> acc_a' (int32[B, k+1, N]).
+    """
+    def fn(bk, acc_a, bara):
+        model = mesh.shape["model"]
+        k1 = bk.mask_size + 1
+        n_groups = k1 * 4
+        assert n_groups % model == 0, (n_groups, model)
+        g_per = n_groups // model
+        l, b, t = bk.decomp_length, bk.log2_base, bk.block
+        plan = bk.plan
+
+        bk_spec = jax.tree.map(lambda _: P(None, None, "model"), bk)
+        bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(bk_spec, P("data", None, None), P(None, "data")),
+            out_specs=P("data", None, None),
+            check_vma=False,
+        )
+        def run(bk_local, acc_local, bara_local):
+            from ..ops.karatsuba import karatsuba_delta_cols
+            from ..polynomial import mul_by_monomial
+            from ..tgsw import decompose
+
+            g0 = lax.axis_index("model") * g_per
+
+            def step(acc, xs):
+                e_i, bara_i = xs
+                rot = mul_by_monomial(acc, bara_i[:, None])
+                digits = decompose(rot - acc, l, b)
+                digits = digits.reshape(acc.shape[0], k1 * l, acc.shape[-1])
+                # group ids for this shard: globally g0 + j -> (k, limb);
+                # k = g // 4, limb = g % 4. lax.switch over the model-static
+                # possibilities keeps the shifts static per branch.
+                def partial_for(start):
+                    gids = tuple(
+                        ((start + j) // 4, (start + j) % 4)
+                        for j in range(g_per)
+                    )
+                    return karatsuba_delta_cols(
+                        digits, e_i, t, plan, gids, k1)
+
+                branches = [
+                    (lambda s=s: partial_for(s))
+                    for s in range(0, n_groups, g_per)
+                ]
+                delta = lax.switch(g0 // g_per, branches)
+                delta = lax.psum(delta, "model")
+                return acc + delta, None
+
+            out, _ = lax.scan(step, acc_local, (bk_local.baked, bara_local))
+            return out
+
+        return run(bk, acc_a, bara_t)
+
+    return fn
+
+
 def shard_mk_cloud_key(ck, mesh: Mesh):
     """Place MK evaluation-key material on the mesh.
 
@@ -170,12 +259,12 @@ def shard_mk_cloud_key(ck, mesh: Mesh):
     bk = MKBootstrapKey(
         jax.device_put(bk.limbs, steps),
         bk.parties, bk.lwe_size, bk.decomp_length, bk.log2_base,
-        bk.polynomial_degree, bk.block,
+        bk.polynomial_degree, bk.block, bk.noise_stddev,
     )
     ks = tuple(
         KeyswitchKey(
             jax.device_put(k.table_limbs, rows),
-            k.n_in, k.n_out, k.decomp_length, k.log2_base,
+            k.n_in, k.n_out, k.decomp_length, k.log2_base, k.noise_stddev,
         )
         for k in ck.keyswitch_keys
     )
