@@ -116,3 +116,90 @@ int tfhe_schedule_circuit(int32_t n_gates, const int32_t* gate_type,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Assign storage slots to wires so execution never materializes dead wires.
+//
+// Works at BATCH granularity (the executor writes a whole batch at once):
+// a batch's output wires draw fresh slots before any wire whose last read
+// is in that batch frees its slot, so outputs can never alias live reads.
+// Wires listed in `keep` (the circuit's requested outputs) stay live to the
+// end. Peak concurrent slots is returned in n_slots_out — the executor's
+// memory bound, typically << n_wires for deep circuits.
+//
+// Inputs mirror tfhe_schedule_circuit plus its outputs (gate_order,
+// batch_start, n_batches). wire_slot_out[n_wires] receives each wire's slot
+// (-1 for wires never touched). Returns 0 on success, -2 on invalid input.
+int tfhe_assign_slots(int32_t n_gates, const int32_t* fanin,
+                      const int32_t* out_wire, int32_t n_wires,
+                      const int32_t* gate_order, const int32_t* batch_start,
+                      int32_t n_batches, const int32_t* keep, int32_t n_keep,
+                      int32_t* wire_slot_out, int32_t* n_slots_out) {
+  if (n_gates < 0 || n_wires < 0 || n_batches < 0) return -2;
+  const int32_t kInf = INT32_MAX;
+
+  std::vector<int32_t> writer(n_wires, -1);
+  for (int32_t g = 0; g < n_gates; ++g) {
+    if (out_wire[g] < 0 || out_wire[g] >= n_wires) return -2;
+    writer[out_wire[g]] = g;
+  }
+  // batch index of each gate in scheduled order
+  std::vector<int32_t> gate_batch(n_gates, -1);
+  for (int32_t b = 0; b < n_batches; ++b)
+    for (int32_t p = batch_start[b]; p < batch_start[b + 1]; ++p)
+      gate_batch[gate_order[p]] = b;
+
+  // last batch reading each wire; kInf pins a wire live forever
+  std::vector<int32_t> last_use(n_wires, -1);
+  for (int32_t g = 0; g < n_gates; ++g)
+    for (int j = 0; j < 3; ++j) {
+      int32_t w = fanin[3 * g + j];
+      if (w < 0) continue;
+      if (w >= n_wires) return -2;
+      last_use[w] = std::max(last_use[w], gate_batch[g]);
+    }
+  for (int32_t i = 0; i < n_keep; ++i) {
+    if (keep[i] < 0 || keep[i] >= n_wires) return -2;
+    last_use[keep[i]] = kInf;
+  }
+
+  std::fill(wire_slot_out, wire_slot_out + n_wires, -1);
+  std::vector<int32_t> free_slots;
+  int32_t next_slot = 0;
+  auto alloc = [&](int32_t w) {
+    if (free_slots.empty()) {
+      wire_slot_out[w] = next_slot++;
+    } else {
+      wire_slot_out[w] = free_slots.back();
+      free_slots.pop_back();
+    }
+  };
+  // primary inputs (read but never written) live from the start
+  for (int32_t w = 0; w < n_wires; ++w)
+    if (writer[w] < 0 && last_use[w] != -1) alloc(w);
+
+  // wires dying in batch b, freed after batch b's outputs are placed
+  std::vector<std::vector<int32_t>> dies(n_batches);
+  for (int32_t w = 0; w < n_wires; ++w)
+    if (last_use[w] >= 0 && last_use[w] != kInf) dies[last_use[w]].push_back(w);
+
+  int32_t peak = next_slot;
+  for (int32_t b = 0; b < n_batches; ++b) {
+    for (int32_t p = batch_start[b]; p < batch_start[b + 1]; ++p) {
+      int32_t w = out_wire[gate_order[p]];
+      if (last_use[w] == -1 && wire_slot_out[w] == -1) {
+        // written, never read, not kept: still needs a slot for the write
+        last_use[w] = b;
+        dies[b].push_back(w);
+      }
+      alloc(w);
+    }
+    peak = std::max(peak, next_slot);
+    for (int32_t w : dies[b]) free_slots.push_back(wire_slot_out[w]);
+  }
+  *n_slots_out = peak;
+  return 0;
+}
+
+}  // extern "C"

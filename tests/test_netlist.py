@@ -100,3 +100,135 @@ def test_encrypted_adder_via_netlist():
     )
     got = circuits.bits_to_int(jnp.asarray(out_bits))
     np.testing.assert_array_equal(np.asarray(got), (a_vals + b_vals) % 256)
+
+
+def _random_layered_circuit(rng, width, depth, fan=2):
+    """Random layered DAG: `width` new gates per level reading the previous
+    level(s); returns (circuit, inputs, last_level_wires)."""
+    circ = netlist.Circuit()
+    prev = circ.inputs(width)
+    ins = list(prev)
+    names = ["nand", "xor", "and_", "or_"]
+    for _ in range(depth):
+        cur = []
+        for _ in range(width):
+            x, y = rng.choice(prev, 2)
+            cur.append(getattr(circ, names[rng.integers(len(names))])(
+                int(x), int(y)))
+        prev = cur
+    return circ, ins, prev
+
+
+def _check_slots_valid(circ, sched, keep):
+    """No two simultaneously-live wires may share a slot (replay check)."""
+    fanin = np.asarray(circ.fanin, np.int32)
+    outw = np.asarray(circ.out_wire, np.int32)
+    slot_owner = {}
+    # primary inputs live from the start
+    written = set(int(w) for w in outw)
+    for w in range(circ.n_wires):
+        if w not in written:
+            s = int(sched.wire_slot[w])
+            if s >= 0:
+                assert s not in slot_owner, (w, s)
+                slot_owner[s] = w
+    live_value = {w: ("in", w) for w in slot_owner.values()}
+    for bi in range(sched.n_batches):
+        lo, hi = int(sched.batch_start[bi]), int(sched.batch_start[bi + 1])
+        for g in sched.gate_order[lo:hi]:
+            for w in fanin[g]:
+                if w >= 0:  # the input wire's slot must still hold IT
+                    assert live_value.get(int(w)) is not None, int(w)
+        for g in sched.gate_order[lo:hi]:
+            w = int(outw[g])
+            s = int(sched.wire_slot[w])
+            # overwriting a slot kills whatever lived there
+            for ww, _ in [(k, v) for k, v in live_value.items()
+                          if int(sched.wire_slot[k]) == s]:
+                del live_value[ww]
+            live_value[w] = ("g", int(g))
+    for w in keep:
+        assert live_value.get(int(w)) is not None, int(w)
+
+
+def test_slot_allocators_agree_and_are_valid():
+    rng = np.random.default_rng(3)
+    circ, ins, outs = _random_layered_circuit(rng, width=16, depth=12)
+    keep = outs[:4]
+    if netlist._native_lib():
+        nat = circ.compile(use_native=True, outputs=keep)
+        py = circ.compile(use_native=False, outputs=keep)
+        np.testing.assert_array_equal(nat.wire_slot, py.wire_slot)
+        assert nat.n_slots == py.n_slots
+        sched = nat
+    else:
+        sched = circ.compile(use_native=False, outputs=keep)
+    assert sched.n_slots < circ.n_wires / 3  # dead wires actually reused
+    _check_slots_valid(circ, sched, keep)
+
+
+def test_scale_100k_gates_schedules_fast():
+    """>= 1e5 gates: native schedule + slot assignment under a second, and
+    the streamed state is bounded by the live width, not the wire count."""
+    import time
+
+    if not netlist._native_lib():
+        pytest.skip("native scheduler unavailable")
+    rng = np.random.default_rng(0)
+    width, depth = 200, 500  # 100,000 gates
+    t0 = time.time()
+    circ, ins, outs = _random_layered_circuit(rng, width, depth)
+    build_secs = time.time() - t0
+    t0 = time.time()
+    sched = circ.compile(use_native=True, outputs=outs)
+    dt = time.time() - t0
+    assert len(circ.gate_type) == width * depth
+    assert dt < 1.0, f"native schedule took {dt:.2f}s (build {build_secs:.1f}s)"
+    # peak memory: live width ~ 2 levels + inputs, nowhere near 100k wires
+    assert sched.n_slots <= 3 * width + len(ins)
+    _ = sched.wire(  # wire lookup works through the slot map
+        tt.lwe.LweSample(
+            jnp.zeros((sched.n_slots, 4), jnp.int32),
+            jnp.zeros(sched.n_slots, jnp.int32),
+            jnp.zeros(sched.n_slots, jnp.float32),
+        ),
+        outs[0],
+    )
+
+
+def test_streamed_run_matches_dense_and_consts():
+    """Slot-streamed execution == dense execution, with const gates mixed in."""
+    params = tt.tfhe_parameters_toy()
+    sk, ck = tt.make_key_pair(jax.random.PRNGKey(5), params)
+
+    circ = netlist.Circuit()
+    a, b = circ.inputs(2)
+    one = circ.const_(True)
+    zero = circ.const_(False)
+    s1 = circ.xor(a, b)
+    s2 = circ.and_(s1, one)     # = s1
+    s3 = circ.or_(s2, zero)     # = s1
+    s4 = circ.nand(s3, a)
+    out_w = circ.mux(s4, s1, b)
+
+    bits_a = jnp.asarray([False, True, False, True], bool)
+    bits_b = jnp.asarray([False, False, True, True], bool)
+    ct_a = tt.encrypt(jax.random.PRNGKey(1), sk, bits_a)
+    ct_b = tt.encrypt(jax.random.PRNGKey(2), sk, bits_b)
+    inputs = {a: ct_a, b: ct_b}
+
+    dense = circ.compile()
+    want_state = dense.run(ck, inputs, batch_shape=(4,))
+    want = np.asarray(tt.decrypt(sk, dense.wire(want_state, out_w)))
+
+    streamed = circ.compile(outputs=[out_w])
+    assert streamed.n_slots < circ.n_wires
+    got_state = streamed.run(ck, inputs, batch_shape=(4,))
+    got = np.asarray(tt.decrypt(sk, streamed.wire(got_state, out_w)))
+    np.testing.assert_array_equal(got, want)
+
+    # plaintext reference
+    na, nb = np.asarray(bits_a), np.asarray(bits_b)
+    s1p = na ^ nb
+    s4p = ~(s1p & na)
+    np.testing.assert_array_equal(want, np.where(s4p, s1p, nb))

@@ -33,7 +33,7 @@ from .lwe import LweSample
 # Gate type ids (batch keys). MUX is 3-input; NOT/CONST are cheap specials.
 GATE_TYPES = (
     "nand", "and", "or", "xor", "xnor", "nor",
-    "andny", "andyn", "orny", "oryn", "mux", "not",
+    "andny", "andyn", "orny", "oryn", "mux", "not", "const",
 )
 _TYPE_ID = {name: i for i, name in enumerate(GATE_TYPES)}
 _GATE_FN = {
@@ -58,6 +58,7 @@ class Circuit:
         self.gate_type: list[int] = []
         self.fanin: list[tuple[int, int, int]] = []
         self.out_wire: list[int] = []
+        self.const_value: dict[int, bool] = {}  # gate index -> plaintext bool
 
     def new_wire(self) -> int:
         self.n_wires += 1
@@ -80,10 +81,10 @@ class Circuit:
     def __getattr__(self, name):
         # two-input gate methods: circ.nand(a, b), circ.xor(a, b), and the
         # keyword-safe aliases circ.and_/or_(a, b)
-        if name == "mux" or name == "not_":
+        if name in ("mux", "not_", "const_"):
             raise AttributeError(name)
         base = name.rstrip("_")
-        if base in _TYPE_ID and base not in ("mux", "not"):
+        if base in _TYPE_ID and base not in ("mux", "not", "const"):
             return lambda a, b: self._gate(base, (a, b))
         raise AttributeError(name)
 
@@ -94,7 +95,23 @@ class Circuit:
     def not_(self, a: int) -> int:
         return self._gate("not", (a,))
 
-    def compile(self, use_native: Optional[bool] = None) -> "Schedule":
+    def const_(self, value: bool) -> int:
+        """Noiseless plaintext constant wire (reference: src/gates.jl:91-93)."""
+        w = self._gate("const", ())
+        self.const_value[len(self.gate_type) - 1] = bool(value)
+        return w
+
+    def compile(self, use_native: Optional[bool] = None,
+                outputs=None) -> "Schedule":
+        """Levelize + batch the netlist; optionally assign storage slots.
+
+        outputs: wire ids the caller will read after run(). When given, the
+        schedule also carries a wire->slot map (native linear-scan
+        allocation, dead wires' slots reused) so run() streams through a
+        [*batch, n_slots, ...] state instead of materializing every wire —
+        n_slots is typically the circuit's live width, << n_wires for deep
+        circuits. Without it, run() keeps the dense all-wires state.
+        """
         n_gates = len(self.gate_type)
         gtype = np.asarray(self.gate_type, np.int32)
         fanin = np.asarray(self.fanin, np.int32).reshape(n_gates, 3)
@@ -106,7 +123,18 @@ class Circuit:
         else:
             sched = _schedule_python(n_gates, gtype, fanin, outw, self.n_wires)
         order, starts, types, levels = sched
-        return Schedule(self, order, starts, types, levels)
+        wire_slot, n_slots = None, self.n_wires
+        if outputs is not None:
+            keep = np.asarray(list(outputs), np.int32)
+            if use_native:
+                wire_slot, n_slots = _assign_slots_native(
+                    n_gates, fanin, outw, self.n_wires, order, starts,
+                    len(types), keep)
+            else:
+                wire_slot, n_slots = _assign_slots_python(
+                    n_gates, fanin, outw, self.n_wires, order, starts,
+                    len(types), keep)
+        return Schedule(self, order, starts, types, levels, wire_slot, n_slots)
 
 
 def _native_path() -> str:
@@ -172,6 +200,78 @@ def _schedule_native(n_gates, gtype, fanin, outw, n_wires):
     return order, starts[: n + 1], types[:n], levels[:n]
 
 
+def _assign_slots_native(n_gates, fanin, outw, n_wires, order, starts,
+                         n_batches, keep):
+    lib = _native_lib()
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    wire_slot = np.zeros(n_wires, np.int32)
+    n_slots = np.zeros(1, np.int32)
+    lib.tfhe_assign_slots.restype = ctypes.c_int32
+    lib.tfhe_assign_slots.argtypes = [
+        ctypes.c_int32, i32p, i32p, ctypes.c_int32,
+        i32p, i32p, ctypes.c_int32, i32p, ctypes.c_int32, i32p, i32p,
+    ]
+    rc = lib.tfhe_assign_slots(
+        n_gates, np.ascontiguousarray(fanin.reshape(-1)),
+        np.ascontiguousarray(outw), n_wires,
+        np.ascontiguousarray(order), np.ascontiguousarray(starts),
+        n_batches, np.ascontiguousarray(keep),
+        len(keep), wire_slot, n_slots,
+    )
+    if rc != 0:
+        raise ValueError(f"slot assignment failed (rc={rc})")
+    return wire_slot, int(n_slots[0])
+
+
+def _assign_slots_python(n_gates, fanin, outw, n_wires, order, starts,
+                         n_batches, keep):
+    """Reference slot allocator (identical semantics to the C++ one)."""
+    INF = np.iinfo(np.int32).max
+    writer = np.full(n_wires, -1, np.int64)
+    writer[outw] = np.arange(n_gates)
+    gate_batch = np.full(n_gates, -1, np.int64)
+    for b in range(n_batches):
+        gate_batch[order[starts[b]: starts[b + 1]]] = b
+    last_use = np.full(n_wires, -1, np.int64)
+    for g in range(n_gates):
+        for w in fanin[g]:
+            if w >= 0:
+                last_use[w] = max(last_use[w], gate_batch[g])
+    last_use[np.asarray(keep, np.int64)] = INF
+
+    wire_slot = np.full(n_wires, -1, np.int32)
+    free: list[int] = []
+    next_slot = 0
+
+    def alloc(w):
+        nonlocal next_slot
+        if free:
+            wire_slot[w] = free.pop()
+        else:
+            wire_slot[w] = next_slot
+            next_slot += 1
+
+    for w in range(n_wires):
+        if writer[w] < 0 and last_use[w] != -1:
+            alloc(w)
+    dies: list[list[int]] = [[] for _ in range(n_batches)]
+    for w in range(n_wires):
+        if 0 <= last_use[w] < INF:
+            dies[last_use[w]].append(w)
+    peak = next_slot
+    for b in range(n_batches):
+        for p in range(starts[b], starts[b + 1]):
+            w = int(outw[order[p]])
+            if last_use[w] == -1:
+                last_use[w] = b
+                dies[b].append(w)
+            alloc(w)
+        peak = max(peak, next_slot)
+        for w in dies[b]:
+            free.append(int(wire_slot[w]))
+    return wire_slot, peak
+
+
 def _schedule_python(n_gates, gtype, fanin, outw, n_wires):
     """Reference scheduler (identical batching semantics to the C++ one)."""
     writer = np.full(n_wires, -1, np.int64)
@@ -213,17 +313,30 @@ def _schedule_python(n_gates, gtype, fanin, outw, n_wires):
 
 @dataclasses.dataclass
 class Schedule:
-    """Compiled batched execution plan for a Circuit."""
+    """Compiled batched execution plan for a Circuit.
+
+    wire_slot/n_slots (set by compile(outputs=...)) map wires onto a reused
+    slot pool so run() streams with peak-live memory instead of all-wires
+    memory; None keeps the dense layout.
+    """
 
     circuit: Circuit
     gate_order: np.ndarray
     batch_start: np.ndarray
     batch_type: np.ndarray
     batch_level: np.ndarray
+    wire_slot: Optional[np.ndarray] = None
+    n_slots: int = 0
 
     @property
     def n_batches(self) -> int:
         return len(self.batch_type)
+
+    def _slot(self, w):
+        """Wire -> state row (identity in dense mode)."""
+        if self.wire_slot is None:
+            return w
+        return self.wire_slot[w]
 
     def run(self, ck: CloudKey, inputs: dict[int, LweSample],
             batch_shape=()) -> LweSample:
@@ -236,17 +349,22 @@ class Schedule:
         """
         circ = self.circuit
         n = ck.params.lwe_size
-        # wire state as one stacked LweSample [*batch, n_wires, n]
-        a = jnp.zeros(batch_shape + (circ.n_wires, n), jnp.int32)
-        b = jnp.zeros(batch_shape + (circ.n_wires,), jnp.int32)
-        cv = jnp.zeros(batch_shape + (circ.n_wires,), jnp.float32)
+        rows = self.n_slots if self.wire_slot is not None else circ.n_wires
+        # wire state as one stacked LweSample [*batch, rows, n]
+        a = jnp.zeros(batch_shape + (rows, n), jnp.int32)
+        b = jnp.zeros(batch_shape + (rows,), jnp.int32)
+        cv = jnp.zeros(batch_shape + (rows,), jnp.float32)
         for w, ct in inputs.items():
-            a = a.at[..., w, :].set(ct.a)
-            b = b.at[..., w].set(ct.b)
-            cv = cv.at[..., w].set(ct.cv)
+            s = self._slot(w)
+            a = a.at[..., s, :].set(ct.a)
+            b = b.at[..., s].set(ct.b)
+            cv = cv.at[..., s].set(ct.cv)
 
         fanin = np.asarray(circ.fanin, np.int32)
         outw = np.asarray(circ.out_wire, np.int32)
+        if self.wire_slot is not None:
+            fanin = np.where(fanin >= 0, self.wire_slot[fanin], -1)
+            outw = self.wire_slot[outw]
 
         for bi in range(self.n_batches):
             lo, hi = int(self.batch_start[bi]), int(self.batch_start[bi + 1])
@@ -259,7 +377,12 @@ class Schedule:
                 idx = ins[:, col]
                 return LweSample(a[..., idx, :], b[..., idx], cv[..., idx])
 
-            if ty == "not":
+            if ty == "const":
+                vals = np.asarray(
+                    [circ.const_value[int(g)] for g in gsel], bool)
+                res = gate_lib.gate_constant(
+                    ck, jnp.asarray(vals), batch_shape + (len(gsel),))
+            elif ty == "not":
                 res = gate_lib.gate_not(ck, pick(0))
             elif ty == "mux":
                 res = gate_lib.gate_mux(ck, pick(0), pick(1), pick(2))
@@ -273,5 +396,5 @@ class Schedule:
 
     def wire(self, state: LweSample, w) -> LweSample:
         """Extract wire(s) w from the run() output state."""
-        w = np.asarray(w)
+        w = self._slot(np.asarray(w))
         return LweSample(state.a[..., w, :], state.b[..., w], state.cv[..., w])
