@@ -165,7 +165,7 @@ def test_mk_keyswitch_matches_oracle(rng):
         assert int(np.asarray(got.b)[i]) == int(wb)
 
 
-@pytest.mark.parametrize("parties", [2, 3])
+@pytest.mark.parametrize("parties", [2, 3, 8])
 def test_mk_nand_round_trip(parties):
     """Full ceremony + batched MK NAND truth table on toy parameters.
 
@@ -253,3 +253,43 @@ def test_mk_segmented_blind_rotate_bit_identical():
     got = mk.mk_gate_nand(ck, x, y, segments=3)
     np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
     np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+
+
+def test_mk_8party_preset_decomposition_round_trip():
+    """8 parties with the 8-party PRESET's decomposition (l=8, base=2^4 —
+    reference src/mk_api.jl:28-34), at toy ring sizes so the full ceremony +
+    NAND run in CI. The production preset itself differs only in n/N, whose
+    arithmetic is size-independent (exactness) — this closes the round-1
+    review's 'preset exists with zero coverage' gap at the parameter level.
+    """
+    from tfhe_tpu.params import SchemeParameters
+
+    params = SchemeParameters(
+        lwe_size=16, lwe_noise_stddev=2.0**-15,
+        tlwe_polynomial_degree=256, tlwe_mask_size=1,
+        bs_decomp_length=8, bs_log2_base=4, bs_noise_stddev=3.29e-10,
+        ks_decomp_length=8, ks_log2_base=2, ks_noise_stddev=2.0**-15,
+        max_parties=8,
+    )
+    parties = 8
+    rng = jax.random.PRNGKey(77)
+    r_shared, r_enc, *r_parties = jax.random.split(rng, 2 + parties)
+    shared = mk.make_shared_key(r_shared, params)
+    sks, parts = [], []
+    for p in range(parties):
+        r_sk, r_part = jax.random.split(r_parties[p])
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(r_part, sk, shared))
+    ck = mk.make_mk_cloud_key(parts)
+
+    xs = jnp.asarray([False, True], bool)
+    ys = jnp.asarray([True, True], bool)
+    r1, r2 = jax.random.split(r_enc)
+    ct_x = mk.mk_encrypt(r1, sks, xs)
+    ct_y = mk.mk_encrypt(r2, sks, ys)
+    np.testing.assert_array_equal(
+        np.asarray(mk.mk_decrypt(sks, ct_x)), np.asarray(xs))
+    out = mk.mk_gate_nand(ck, ct_x, ct_y)
+    np.testing.assert_array_equal(
+        np.asarray(mk.mk_decrypt(sks, out)), [True, False])
