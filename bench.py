@@ -31,7 +31,9 @@ def main():
 
     import tfhe_tpu as tt
     from tfhe_tpu import gates
+    from tfhe_tpu.utils.sync import device_barrier, prime_sync
 
+    prime_sync()  # tunneled-TPU: honest AND fast dispatch mode (utils/sync.py)
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "4096" if on_tpu else "8"))
@@ -59,13 +61,13 @@ def main():
     nand = jax.jit(gates.gate_nand)
     t0 = time.time()
     out = nand(ck, ct_x, ct_y)
-    jax.block_until_ready(out)
+    device_barrier(out)
     log(f"first call (compile + run): {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for _ in range(iters):
         out = nand(ck, out, ct_y)  # chain to defeat caching
-    jax.block_until_ready(out)
+    device_barrier(out)
     dt = time.time() - t0
     throughput = batch * iters / dt
     log(f"{iters} iters x {batch} gates in {dt:.3f}s -> {throughput:.0f} gates/s")

@@ -38,7 +38,9 @@ def main():
     import tfhe_tpu as tt
     import tfhe_tpu.mk as mk
     from tfhe_tpu import circuits, gates
+    from tfhe_tpu.utils.sync import prime_sync
 
+    prime_sync()  # tunneled-TPU: honest AND fast dispatch mode (utils/sync.py)
     small = bool(int(os.environ.get("TFHE_SUITE_SMALL", "0")))
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu and not small:

@@ -293,3 +293,36 @@ def test_mk_8party_preset_decomposition_round_trip():
     out = mk.mk_gate_nand(ck, ct_x, ct_y)
     np.testing.assert_array_equal(
         np.asarray(mk.mk_decrypt(sks, out)), [True, False])
+
+
+def test_mk_expand_kernel_matches_prepared(monkeypatch):
+    """MK blind rotation through the on-the-fly-expansion tiled kernel
+    (interpret mode) == the prepared XLA path, bitwise (toy ceremony)."""
+    parties = 2
+    params = mk.mktfhe_parameters_toy(parties)
+    r = jax.random.PRNGKey(31)
+    r_sh, r_e, ra, rb = jax.random.split(r, 4)
+    shared = mk.make_shared_key(r_sh, params)
+    sks, parts = [], []
+    for rr in (ra, rb):
+        r_sk, r_part = jax.random.split(rr)
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(r_part, sk, shared))
+
+    monkeypatch.setenv("TFHE_TPU_MK_BAKE_BUDGET", "0")  # stay prepared
+    ck = mk.make_mk_cloud_key(parts)
+    assert ck.bootstrap_key.block == 0
+
+    bits = jnp.asarray([True, False], bool)
+    x = mk.mk_encrypt(jax.random.PRNGKey(1), sks, bits)
+    y = mk.mk_encrypt(jax.random.PRNGKey(2), sks, ~bits)
+
+    monkeypatch.setenv("TFHE_TPU_MK_CMUX", "prepared")
+    want = mk.mk_gate_nand(ck, x, y)
+    monkeypatch.setenv("TFHE_TPU_MK_CMUX", "expand")
+    got = mk.mk_gate_nand(ck, x, y)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    np.testing.assert_array_equal(
+        np.asarray(mk.mk_decrypt(sks, got)), [True, True])

@@ -419,12 +419,34 @@ def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
     kk = parties + 1
     p = kk * decomp_length
     n = pk_bs.shape[-1]
-    t = _mk_bake_block(steps, p, kk, n, budget_bytes=6 * 2**30)
+    # On TPU with a 128-divisible ring the prepared form feeds the
+    # expand+tiled-kernel fast path directly — the T<=64 bake only helps
+    # the XLA fallback (CPU tests, odd geometries).
+    if jax.default_backend() == "tpu" and n % 128 == 0 and n // 128 >= 2:
+        t = 0
+    else:
+        t = _mk_bake_block(steps, p, kk, n, budget_bytes=6 * 2**30)
     if t:
         limbs = conv.bake_block_toeplitz(limbs, t)
     return MKBootstrapKey(
         limbs, parties, n_lwe, decomp_length, log2_base, n, t, noise_stddev
     )
+
+
+def _use_mk_expand_kernel(bk: MKBootstrapKey) -> bool:
+    """The expand+tiled-kernel MK fast path: prepared (block == 0) keys with
+    a 128-divisible ring degree, on TPU (or forced via TFHE_TPU_MK_CMUX)."""
+    import os
+
+    mode = os.environ.get("TFHE_TPU_MK_CMUX", "auto")
+    if bk.block != 0 or bk.polynomial_degree % 128 or \
+            bk.polynomial_degree // 128 < 2:
+        return False
+    if mode == "expand":
+        return True
+    if mode in ("xla", "prepared"):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
@@ -446,6 +468,50 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
         bara.shape[:-2] + (steps,)
     )
     bara_t = jnp.moveaxis(bara_flat, -1, 0)  # [steps, B]
+
+    if _use_mk_expand_kernel(bk):
+        # Fast path: per-step on-the-fly Karatsuba expansion (copy-speed,
+        # no gathers — the MK key CANNOT be pre-baked at T=128: it would be
+        # 42-262 GB) feeding the tiled fused CMUX kernel. The T=16 baked /
+        # prepared fallbacks below remain for CPU tests and odd geometries.
+        from ..bootstrap import _default_depth
+        from ..ops.karatsuba import expand_karatsuba_step, karatsuba_plan
+        from ..ops.pallas_cmux import cmux_step_pallas_tiled
+        from ..tgsw import decomp_offset
+
+        n = bk.polynomial_degree
+        t = 128
+        depth = max(1, min(_default_depth() or 2,
+                           (n // t).bit_length() - 1))
+        plan = karatsuba_plan(n // t, depth, b)
+        offset = decomp_offset(l, b)
+        k1 = bk.parties + 1
+        interpret = jax.default_backend() != "tpu"
+
+        def step(acc_a, xs):
+            limbs_i, bara_i = xs
+            e_i = expand_karatsuba_step(limbs_i, t, plan)
+            out = cmux_step_pallas_tiled(
+                acc_a, e_i, bara_i, n=n, k1=k1, l=l, b=b, t=t, plan=plan,
+                offset=offset, interpret=interpret,
+            )
+            return out, None
+
+        from ..noise import mk_blind_rotate_var
+
+        cv_out = accum.cv + mk_blind_rotate_var(
+            bk.parties, bk.lwe_size, l, b, bk.polynomial_degree,
+            bk.noise_stddev)
+        if segments <= 1:
+            out_a, _ = jax.lax.scan(step, accum.a, (bk.limbs, bara_t))
+            return TLweSample(out_a, cv_out)
+        run_seg = jax.jit(lambda a, li, ba: jax.lax.scan(step, a, (li, ba))[0])
+        seg_len = -(-steps // segments)
+        acc_a = accum.a
+        for s0 in range(0, steps, seg_len):
+            acc_a = run_seg(
+                acc_a, bk.limbs[s0: s0 + seg_len], bara_t[s0: s0 + seg_len])
+        return TLweSample(acc_a, cv_out)
 
     if bk.block:
         from ..bootstrap import mux_rotate_baked

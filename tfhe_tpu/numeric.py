@@ -31,7 +31,12 @@ def encode_message(mu: int, message_space: int) -> int:
     """
     log2_ms = message_space.bit_length() - 1
     assert 1 << log2_ms == message_space, "message_space must be a power of 2"
-    return int(jnp.int32(jnp.uint32((mu << (32 - log2_ms)) & 0xFFFFFFFF)))
+    # Pure-Python two's complement (NO device scalar: a device->host scalar
+    # read here would permanently degrade jit dispatch to a synchronous
+    # ~25 ms round-trip per call on tunneled-TPU runtimes, and this runs at
+    # import time via the gate-library constants).
+    v = (mu << (32 - log2_ms)) & 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
 
 
 def decode_message(phase, message_space: int):

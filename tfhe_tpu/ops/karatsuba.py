@@ -223,7 +223,88 @@ def bake_karatsuba(limbs_doubled, t: int, plan: KaratsubaPlan,
     return out
 
 
-# --- gate-time XLA path ---
+@functools.lru_cache(maxsize=None)
+def _toeplitz_select(t: int, lw: int):
+    """Static 0/1 selector S[(u,w), j] = 1 iff j == t + w - u (NumPy — an
+    lru_cache'd jnp array would leak tracers into later traces)."""
+    u = np.arange(t)[:, None]
+    w = np.arange(t)[None, :]
+    sel = np.zeros((t * t, lw), np.int8)
+    sel[np.arange(t * t), (t + w - u).reshape(-1)] = 1
+    return sel
+
+
+def expand_karatsuba_step(limbs_step, t: int, plan: KaratsubaPlan):
+    """Gate-time expansion of ONE step's compact key into the leaf layout.
+
+    limbs_step: int8[4, P, K, 2N] (prepare_shared_torus row). Returns the
+    same [total_rows*P*T, K*4*T] int8 layout as `bake_karatsuba` — verified
+    bit-identical — but built with STATIC slices + stack (copy-bandwidth,
+    no gathers: TPU gathers run ~2 Gelem/s while copies run at HBM speed).
+
+    This is the multi-key path's key producer: the MK baked key would be
+    42-262 GB at T=128 (scales with T * parties^2), so it cannot be
+    pre-baked; instead each scan step expands its ~P*K*8KB compact row into
+    the ~40-150 MB dense leaf layout on the fly, at copy cost that hides
+    under the step's matmuls.
+    """
+    four, p, k, n2 = limbs_step.shape
+    n = n2 // 2
+    m = n // t
+    assert plan.m == m
+    words = (
+        limbs_step[0].astype(_I32)
+        + (limbs_step[1].astype(_I32) << 8)
+        + (limbs_step[2].astype(_I32) << 16)
+        + (limbs_step[3].astype(_I32) << 24)
+    )  # [P, K, 2N] int32, 2N-periodic doubled coefficients
+
+    lw = 2 * t + 1  # window length: indices T+w-u span [1, 2T], all < LW
+
+    def window(d):
+        # indices d*T + w - u for u,w in [0,T) lie in [d*T-T+1, d*T+T);
+        # slice [d*T-T, d*T+T+1) (mod 2N for d = 0)
+        lo = d * t - t
+        if 0 <= lo and lo + lw <= n2:
+            return lax.slice_in_dim(words, lo, lo + lw, axis=-1)
+        if lo < 0:  # wrap below (words is 2N-periodic)
+            return jnp.concatenate(
+                [lax.slice_in_dim(words, n2 + lo, n2, axis=-1),
+                 lax.slice_in_dim(words, 0, lo + lw, axis=-1)], axis=-1)
+        return jnp.concatenate(  # wrap above (d = 2M-1: one element over)
+            [lax.slice_in_dim(words, lo, n2, axis=-1),
+             lax.slice_in_dim(words, 0, lo + lw - n2, axis=-1)], axis=-1)
+
+    from .conv import split_torus_limbs
+
+    # Gather all entry combos first: [R, P, K, LW] int32 (tiny — the combos
+    # sum in int32, wraparound exact), limb-split to int8, THEN expand.
+    combos = []
+    for lf in plan.leaves:
+        for entry in reversed(lf.entries):
+            comb = window(entry[0])
+            for d in entry[1:]:
+                comb = comb + window(d)  # int32 wraparound: exact
+            combos.append(comb)
+    r = len(combos)
+    lb = split_torus_limbs(jnp.stack(combos))  # [4, R, P, K, LW] int8
+
+    # Toeplitz expansion rows[u, w] = win[T + w - u] as ONE int8 MXU matmul
+    # with a static 0/1 selection matrix (a gather-by-matmul: each Sel row
+    # has exactly one 1, so the int32 product is the selected int8 value and
+    # the narrowing cast is exact). Measured 134 GiB/s on-chip vs 53 GiB/s
+    # for a T-way stack of shifted slices and ~24 GiB/s for log-doubling
+    # rolls — lane-shift data movement is exactly what the MXU's systolic
+    # broadcast does for free.
+    sel = jnp.asarray(_toeplitz_select(t, lw))  # [T*T, LW] int8
+    flat = lb.reshape(four * r * p * k, lw)
+    prod = lax.dot_general(
+        sel, flat.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [T*T, 4*R*P*K]
+    e = prod.reshape(t, t, four, r, p, k).transpose(3, 4, 0, 5, 2, 1)
+    return e.astype(jnp.int8).reshape(plan.total_rows * p * t, k * 4 * t)
+
 
 
 def _digit_combos(digits, plan: KaratsubaPlan, t: int):

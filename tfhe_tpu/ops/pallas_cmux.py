@@ -133,7 +133,7 @@ def _cmux_matmul_kernel(dig_ref, acc_ref, e_hbm, out_ref, w_buf, sem, *,
         out_ref[:, k, :] = acc_ref[:, k, :] + acc_k
 
 
-def _kernel_plan(plan, p: int, t: int):
+def _kernel_plan(plan, p: int, t: int, inline_combos: bool = False):
     """Lower a KaratsubaPlan into static kernel metadata.
 
     Returns (combo_writes, leaf_dots, comb_rows):
@@ -162,6 +162,11 @@ def _kernel_plan(plan, p: int, t: int):
                 range(first, first + L)
             )
             lhs_descs = ((0, first, 0),)
+        elif inline_combos and lf.d_shifts == (0,):
+            # single-limb combo: the tiled kernel sums digit blocks inline
+            # (exact in int8: sums of digits bounded by the plan's
+            # _digit_limb_shifts check), no dcomb materialization
+            lhs_descs = ((2, lf.entries, 0),)
         else:
             base = comb_row
             n_s = len(lf.d_shifts)
@@ -324,11 +329,12 @@ def _fused_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
 
 
 def _rotate_decompose_body(acc_ref, cacc_ref, dig_ref, bara_row, *, n, k1, l,
-                           b, t, offset, dig_i32):
+                           b, t, offset, dig_i32, acc_flat=False):
     """Shared rotate+decompose: digits of (X^bara - 1) * acc into dig_ref.
 
     bara_row: int32[BT] values in [0, 2N). cacc_ref's first N lanes are the
-    barrel scratch (caller zeroes cacc afterwards).
+    barrel scratch (caller zeroes cacc afterwards). acc_flat: acc_ref is
+    [BT, k1*N] (2D layouts keep Mosaic DMA slicing happy for k1 > 2).
     """
     m = n // t
     p = k1 * l
@@ -341,7 +347,7 @@ def _rotate_decompose_body(acc_ref, cacc_ref, dig_ref, bara_row, *, n, k1, l,
     half = jnp.int32(1 << (b - 1))
     col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     for j in range(k1):
-        row = acc_ref[:, j, :]
+        row = acc_ref[:, j * n: (j + 1) * n] if acc_flat else acc_ref[:, j, :]
         cacc_ref[:, 0:n] = row
         for s in range(stages):
             cur = cacc_ref[:, 0:n]
@@ -427,6 +433,165 @@ def _leaf_dots_body(dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf_dots, *,
                 cacc_ref[:, posm * kt: (posm + 1) * kt] = (
                     cur + word if sgn_f == 1 else cur - word
                 )
+
+
+def _tile_plan(plan, p: int, t: int, k1: int, col_groups: int,
+               p_chunk: int):
+    """Static tiling metadata for the big-operand (multi-key) kernel.
+
+    Emits, per column group, per leaf output o, the list of E tiles
+    (row0, n_rows) each paired with its digit-side source rows — tiles are
+    (entry, p-range) sub-blocks so every lhs/e slice stays contiguous.
+    Returns (units, tile_list): `units` drive compute (one unit = one
+    (leaf, o, colgroup) product, with its tile indices into `tile_list`),
+    `tile_list` drives the DMA stream.
+    """
+    combo_writes, leaf_dots, comb_rows = _kernel_plan(
+        plan, p, t, inline_combos=True)
+    assert p % p_chunk == 0
+    n_pc = p // p_chunk
+    pt = p * t
+    pct = p_chunk * t
+    cols = k1 * 4 * t
+    assert (k1 * 4) % col_groups == 0
+    gcols = cols // col_groups
+
+    tile_list = []
+    units = []
+    for cg in range(col_groups):
+        c0 = cg * gcols
+        group_ids = tuple(
+            ((c0 // t + j) // 4, (c0 // t + j) % 4)
+            for j in range(gcols // t)
+        )
+        m = plan.m
+        for li, (e_row, L, lhs_descs, contribs) in enumerate(leaf_dots):
+            for o in range(2 * L - 1):
+                i0, i1 = max(0, o - L + 1), min(L - 1, o)
+                tids = []
+                lhs_rows = []
+                for i in range(i0, i1 + 1):
+                    for pc in range(n_pc):
+                        r0 = (e_row + (L - 1 - o + i)) * pt + pc * pct
+                        tids.append(len(tile_list))
+                        tile_list.append((r0, pct, c0, gcols))
+                        descs = []
+                        for desc in lhs_descs:
+                            if desc[0] == 2:  # inline digit-block sum
+                                descs.append((2, tuple(
+                                    blk * pt + pc * pct
+                                    for blk in desc[1][i]), 0))
+                            else:
+                                buf, row0, sh = desc
+                                descs.append(
+                                    (buf, (row0 + i) * pt + pc * pct, sh))
+                        lhs_rows.append(tuple(descs))
+                # absolute folded output positions for this o
+                placed = []
+                for off, sgn in contribs:
+                    pos = off + o
+                    if pos >= 2 * m - 1:
+                        continue
+                    placed.append((pos % m, sgn if pos < m else -sgn))
+                units.append((tuple(tids), tuple(lhs_rows), tuple(placed),
+                              group_ids))
+    return combo_writes, tuple(units), tuple(tile_list), comb_rows
+
+
+def _tiled_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
+                            dig_ref, dcomb_ref, ebuf_ref, rot_ref,
+                            sem, sem_io, *, n, k1, l, b, t, offset,
+                            combo_writes, units, tile_list, dig_i32):
+    """Fused CMUX step for operands too large for whole-leaf VMEM buffers
+    (the multi-key external product: P = (parties+1)*l, K = parties+1).
+    E streams in (p-chunk x column-group) tiles with double-buffered DMA;
+    each (leaf, output, colgroup) unit accumulates its tiles' dots into a
+    VMEM product accumulator, recombines limb columns, and scatters into
+    the fold accumulator. Bit-exact vs mux_rotate_karatsuba.
+    """
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    bt = acc_ref.shape[0]
+    c = pl.program_id(0)
+    kt = k1 * t
+
+    cp_in = pltpu.make_async_copy(
+        acc_hbm.at[pl.ds(c * bt, bt)], acc_ref, sem_io)
+    cp_in.start()
+    cp_in.wait()
+
+    _rotate_decompose_body(
+        acc_ref, rot_ref, dig_ref, bara_ref[:, 0],
+        n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32,
+        acc_flat=True)
+    _combo_body(dig_ref, dcomb_ref, combo_writes, pt)
+    # deltas scatter DIRECTLY into acc_ref below (the rotation has already
+    # consumed the old accumulator) — no separate fold buffer
+
+    def tile_dma(j, slot):
+        r0, nr, c0, nc = tile_list[j]
+        return pltpu.make_async_copy(
+            e_hbm.at[pl.ds(r0, nr), pl.ds(c0, nc)],
+            ebuf_ref.at[slot, pl.ds(0, nr), pl.ds(0, nc)],
+            sem.at[slot],
+        )
+
+    n_tiles = len(tile_list)
+    tile_dma(0, 0).start()
+    tctr = 0  # global tile counter (static: loops are unrolled)
+    for tids, lhs_rows, contribs, group_ids in units:
+        gcols = tile_list[tids[0]][3]
+        pacc = None
+        for ti, j in enumerate(tids):
+            if j + 1 < n_tiles:
+                tile_dma(j + 1, (j + 1) % 2).start()
+            tile_dma(j, j % 2).wait()
+            r0, nr, c0, nc = tile_list[j]
+            rhs = ebuf_ref[j % 2, pl.ds(0, nr), pl.ds(0, nc)]
+            rec = None
+            for buf, lrow0, d_shift in lhs_rows[ti]:
+                if buf == 2:
+                    # inline combo: Mosaic has no int8 vector arithmetic —
+                    # sum in int32, then narrow (exact: plan bounds fit int8)
+                    lhs = dig_ref[:, lrow0[0]: lrow0[0] + nr].astype(jnp.int32)
+                    for r in lrow0[1:]:
+                        lhs = lhs + dig_ref[:, r: r + nr].astype(jnp.int32)
+                    lhs = lhs.astype(jnp.int8)
+                else:
+                    src = dcomb_ref if buf else dig_ref
+                    lhs = src[:, lrow0: lrow0 + nr]
+                    if dig_i32 and buf == 0:
+                        lhs = lhs.astype(jnp.int8)
+                prod = lax.dot_general(
+                    lhs, rhs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                if d_shift:
+                    prod = prod << d_shift
+                rec = prod if rec is None else rec + prod
+            pacc = rec if pacc is None else pacc + rec
+        # limb-recombine this column group's products into per-k words and
+        # fold/scatter into cacc: each local (k, limb) group contributes
+        # (prod << 8*limb) to word k — linearity makes partial column
+        # groups exact (int32 wraparound)
+        words = {}
+        for gi, (k, limb) in enumerate(group_ids):
+            contrib = pacc[:, gi * t: (gi + 1) * t]
+            if limb:
+                contrib = contrib << (8 * limb)
+            words[k] = contrib if k not in words else words[k] + contrib
+        for posm, sgn_f in contribs:
+            for k, wk in words.items():
+                dst = slice(k * n + posm * t, k * n + (posm + 1) * t)
+                acc_ref[:, dst] = (
+                    acc_ref[:, dst] + wk if sgn_f == 1
+                    else acc_ref[:, dst] - wk
+                )
+
+    cp_out = pltpu.make_async_copy(
+        acc_ref, out_hbm.at[pl.ds(c * bt, bt)], sem_io)
+    cp_out.start()
+    cp_out.wait()
 
 
 def _blind_rotate_megakernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
@@ -515,6 +680,94 @@ def _blind_rotate_megakernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
         acc_ref, out_hbm.at[pl.ds(c * bt, bt)], sem_io)
     cp_out.start()
     cp_out.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k1", "l", "b", "t", "plan", "offset", "interpret",
+                     "btk", "p_chunk", "col_groups"),
+)
+def cmux_step_pallas_tiled(acc, e_step, bara, *, n, k1, l, b, t, plan,
+                           offset, interpret=False, btk=None,
+                           p_chunk=None, col_groups=None):
+    """Fused CMUX step for large (P, K) operands — the multi-key external
+    product (reference: src/mk_internals.jl:348-391). E streams in
+    (p-chunk x column-group) tiles; digit combos are summed inline.
+
+    acc: int32[B, k1, N] with k1 = parties+1; e_step: the
+    expand_karatsuba_step / bake_karatsuba layout for this step's operand;
+    bara: int32[B]. Bit-exact vs mux_rotate_karatsuba.
+    """
+    assert n & (n - 1) == 0
+    b_sz = acc.shape[0]
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    cols = k1 * 4 * t
+
+    if col_groups is None:
+        # CONTIGUOUS tiles only: column-split tiles make every DMA row
+        # row-strided (huge effective-bandwidth loss); keep full-width
+        # columns and shrink the row chunk to fit the ~2 MB tile budget.
+        col_groups = 1
+    if p_chunk is None:
+        budget = 1 << 21
+        p_chunk = 1
+        for pc in range(p, 0, -1):
+            if p % pc == 0 and pc * t * (cols // col_groups) <= budget:
+                p_chunk = pc
+                break
+
+    combo_writes, units, tile_list, comb_rows = _tile_plan(
+        plan, p, t, k1, col_groups, p_chunk)
+    dig_i32 = b > 8
+
+    def vmem_at(bt_):
+        # acc + dig + dcomb + rot scratches (ebuf added by caller budget)
+        return bt_ * (k1 * n * 4 + m * pt * (4 if dig_i32 else 1)
+                      + max(comb_rows, 1) * pt + n * 4)
+
+    if btk is None:
+        btk = _env_tile("TFHE_TPU_BTMK", 0)
+    if not btk:
+        # Largest batch tile whose scratches + double-buffered E tiles fit
+        # ~14 MB of the 16 MB VMEM: fewer grid cells means fewer re-streams
+        # of the whole per-step E operand (the dominant DMA cost at >= 4
+        # parties: E is re-read once per cell).
+        ebuf = 2 * p_chunk * t * (cols // col_groups)
+        btk = 256 if vmem_at(256) + ebuf <= 14 * 2**20 else 128
+    bt = _pick_tile(b_sz, btk)
+
+    fn = functools.partial(
+        _tiled_karatsuba_kernel,
+        n=n, k1=k1, l=l, b=b, t=t, offset=offset,
+        combo_writes=combo_writes, units=units, tile_list=tile_list,
+        dig_i32=dig_i32,
+    )
+    max_r = max(nr for _, nr, _, _ in tile_list)
+    max_c = max(nc for _, _, _, nc in tile_list)
+    out = pl.pallas_call(
+        fn,
+        out_shape=jax.ShapeDtypeStruct((b_sz, k1 * n), jnp.int32),
+        grid=(b_sz // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((bt, k1 * n), jnp.int32),  # acc tile, 2D (k1 may be odd)
+            pltpu.VMEM((bt, m * pt), jnp.int32 if dig_i32 else jnp.int8),
+            pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),
+            pltpu.VMEM((2, max_r, max_c), jnp.int8),
+            pltpu.VMEM((bt, n), jnp.int32),  # rotate barrel scratch
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(bara.reshape(b_sz, 1), acc.reshape(b_sz, k1 * n), e_step)
+    return out.reshape(b_sz, k1, n)
 
 
 @functools.partial(

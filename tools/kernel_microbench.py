@@ -27,6 +27,9 @@ from tfhe_tpu.ops.pallas_cmux import (
 )
 from tfhe_tpu.ops.conv import split_small_limbs
 from tfhe_tpu.tgsw import decomp_offset
+from tfhe_tpu.utils.sync import prime_sync
+
+prime_sync()  # tunneled-TPU: honest AND fast dispatch mode (utils/sync.py)
 
 
 def time_scan(step_fn, acc0, bara, reps):

@@ -43,6 +43,9 @@ from tfhe_tpu.mk.internals import (
     mk_tgsw_encrypt_core,
     public_key_core,
 )
+from tfhe_tpu.utils.sync import prime_sync
+
+prime_sync()  # tunneled-TPU: honest AND fast dispatch mode (utils/sync.py)
 from tfhe_tpu.keyswitch import keyswitch_key_gen
 from tfhe_tpu.numeric import encode_message, rand_uniform_bool, rand_uniform_torus32
 from tfhe_tpu.tlwe import tlwe_key_gen

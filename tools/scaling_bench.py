@@ -40,7 +40,9 @@ def main():
 
     import tfhe_tpu as tt
     from tfhe_tpu import parallel
+    from tfhe_tpu.utils.sync import prime_sync
 
+    prime_sync()  # tunneled-TPU: honest AND fast dispatch mode (utils/sync.py)
     per_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     params = tt.tfhe_parameters_toy() if jax.default_backend() == "cpu" \
         else tt.tfhe_parameters_128()
