@@ -138,7 +138,7 @@ def main():
     mck = mk.make_mk_cloud_key(parts)
     jax.block_until_ready(mck.bootstrap_key.limbs)
     log(f"mk expansion: {time.time() - t0:.1f}s")
-    Bm = 4 if small else 64  # MK uses the unbaked path (gathers) this round
+    Bm = 4 if small else 1024  # sparse-expand fast path (see mk/internals.py)
     m1 = jnp.arange(Bm) % 2 == 0
     e1 = mk.mk_encrypt(jax.random.PRNGKey(22), sks, m1)
     e2 = mk.mk_encrypt(jax.random.PRNGKey(23), sks, ~m1)

@@ -295,16 +295,17 @@ def test_mk_8party_preset_decomposition_round_trip():
         np.asarray(mk.mk_decrypt(sks, out)), [True, False])
 
 
-def test_mk_expand_kernel_matches_prepared(monkeypatch):
-    """MK blind rotation through the on-the-fly-expansion tiled kernel
-    (interpret mode) == the prepared XLA path, bitwise (toy ceremony)."""
-    parties = 2
+@pytest.mark.parametrize("parties", [2, 4])
+def test_mk_expand_kernel_matches_prepared(monkeypatch, parties):
+    """MK blind rotation through the on-the-fly sparse-expansion kernel
+    (interpret mode) == the prepared XLA path, bitwise (toy ceremony).
+    Covers both sparsity patterns (2-party: 7/9 blocks; 4-party: 13/25)."""
     params = mk.mktfhe_parameters_toy(parties)
     r = jax.random.PRNGKey(31)
-    r_sh, r_e, ra, rb = jax.random.split(r, 4)
+    r_sh, r_e, *rparts = jax.random.split(r, 2 + parties)
     shared = mk.make_shared_key(r_sh, params)
     sks, parts = [], []
-    for rr in (ra, rb):
+    for rr in rparts:
         r_sk, r_part = jax.random.split(rr)
         sk = tt.make_secret_key(r_sk, params)
         sks.append(sk)
@@ -326,3 +327,16 @@ def test_mk_expand_kernel_matches_prepared(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
     np.testing.assert_array_equal(
         np.asarray(mk.mk_decrypt(sks, got)), [True, True])
+
+    # sparse-STORED key (the 8-party-production layout): same ceremony,
+    # limbs hold only the nonzero blocks; must stay bitwise identical
+    monkeypatch.setenv("TFHE_TPU_MK_SPARSE_LIMBS", "1")
+    ck_sp = mk.make_mk_cloud_key(parts)
+    assert ck_sp.bootstrap_key.sparse
+    nz = len(mk.internals.mk_nonzero_blocks(0, parties))
+    # per-party tuple of [n, 4, NZ, l, 2N]
+    assert len(ck_sp.bootstrap_key.limbs) == parties
+    assert ck_sp.bootstrap_key.limbs[0].shape[2] == nz == 3 * parties + 1
+    got_sp = mk.mk_gate_nand(ck_sp, x, y)
+    np.testing.assert_array_equal(np.asarray(got_sp.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got_sp.b), np.asarray(want.b))

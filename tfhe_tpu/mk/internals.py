@@ -323,6 +323,27 @@ def build_extern_operand(exp: MKTGswExpSample, party: int, parties: int,
     return conv.prepare_shared_torus(t)
 
 
+def build_extern_operand_sparse(exp: MKTGswExpSample, party: int,
+                                parties: int, decomp_length: int, nz):
+    """Like `build_extern_operand`, but materializes ONLY the nonzero
+    blocks, stacked in `nz` = mk_nonzero_blocks order: int8[..., 4, NZ, l,
+    2N]. This is what makes the 8-party production key fit HBM (the dense
+    prepared form is 21 GB; 25/81 blocks is 6.6 GB)."""
+    x, y, c0, c1 = exp.x, exp.y, exp.c0, exp.c1
+    kk = parties + 1
+
+    def block(j, k):
+        if j < parties:
+            if k == kk - 1:
+                return x[..., :, j, :]
+            if k == party:
+                return y[..., :, j, :]
+            return y[..., :, party, :]  # k == j != party
+        return c1 if k == party else c0  # body row
+    t = jnp.stack([block(j, k) for (j, k) in nz], axis=-3)
+    return conv.prepare_shared_torus(t)  # [..., 4, NZ, l, 2N]
+
+
 # --- MK keyswitch (reference: src/mk_internals.jl:397-411) ---
 
 
@@ -351,7 +372,7 @@ def mk_keyswitch(ks_keys, sample: MKLweSample) -> MKLweSample:
     jax.tree_util.register_dataclass,
     data_fields=["limbs"],
     meta_fields=["parties", "lwe_size", "decomp_length", "log2_base",
-                 "polynomial_degree", "block", "noise_stddev"],
+                 "polynomial_degree", "block", "noise_stddev", "sparse"],
 )
 @dataclasses.dataclass(frozen=True)
 class MKBootstrapKey:
@@ -359,14 +380,17 @@ class MKBootstrapKey:
     reference's rotation order (src/mk_internals.jl:473-485: party outer
     loop, key-bit inner).
 
-    Two storage forms, selected by `block`:
-    * block == 0: prepared limbs int8[parties*n, 4, P, K, 2N] — compact
-      (grows as parties^2), but each CMUX step materializes a Toeplitz
-      gather at gate time (slow on TPU; the fallback when the baked form
-      does not fit HBM).
+    Three storage forms:
+    * block == 0, sparse=False: prepared limbs int8[parties*n, 4, P, K, 2N]
+      — compact (grows as parties^2); the TPU fast path expands per step,
+      the XLA fallback materializes a Toeplitz gather at gate time.
+    * block == 0, sparse=True: nonzero blocks only,
+      int8[parties*n, 4, NZ, l, 2N] with NZ = 3*parties+1 in
+      mk_nonzero_blocks order — the only form whose 8-party production key
+      fits HBM (6.6 GB vs 21 GB dense). TPU fast path only.
     * block == T > 0: baked block-Toeplitz int8[parties*n, 2M*P*T, K*4*T]
       (ops/conv.py:bake_block_toeplitz) — gather-free dense matmuls at gate
-      time, T x larger storage.
+      time, T x larger storage (CPU/fallback geometries).
     """
 
     limbs: jax.Array
@@ -377,6 +401,7 @@ class MKBootstrapKey:
     polynomial_degree: int
     block: int = 0
     noise_stddev: float = 0.0  # party keygen sigma, feeds the honest cv model
+    sparse: bool = False
 
 
 def _mk_bake_block(steps: int, p: int, kk: int, n: int,
@@ -404,33 +429,74 @@ def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
     Bakes the block-Toeplitz form when it fits HBM (2-party production:
     ~4.7 GB at T=32); larger party counts fall back to prepared limbs.
     """
+    import os
+
     parties = pk_bs.shape[0]
     n_lwe = parts_ue[0].cd.shape[0]
-    all_limbs = []
-    for party in range(parties):
-        exp = mk_tgsw_expand(
-            parts_ue[party], party, pk_bs, decomp_length, log2_base
-        )
-        limbs = build_extern_operand(exp, party, parties, decomp_length)
-        all_limbs.append(limbs)
-    limbs = jnp.concatenate(all_limbs, axis=0)  # [parties*n, 4, P, K, 2N]
-
     steps = parties * n_lwe
     kk = parties + 1
     p = kk * decomp_length
     n = pk_bs.shape[-1]
     # On TPU with a 128-divisible ring the prepared form feeds the
-    # expand+tiled-kernel fast path directly — the T<=64 bake only helps
-    # the XLA fallback (CPU tests, odd geometries).
-    if jax.default_backend() == "tpu" and n % 128 == 0 and n // 128 >= 2:
-        t = 0
+    # sparse-expand kernel fast path directly — the T<=64 bake only helps
+    # the XLA fallback (CPU tests, odd geometries). When even the dense
+    # prepared form is too big (8-party production: 21 GB), store ONLY the
+    # nonzero blocks (mk_nonzero_blocks order; 6.6 GB) — a layout only the
+    # fast path consumes.
+    fast = jax.default_backend() == "tpu" and n % 128 == 0 and n // 128 >= 2
+    dense_bytes = steps * 4 * p * kk * 2 * n
+    sparse_env = os.environ.get("TFHE_TPU_MK_SPARSE_LIMBS", "auto")
+    if sparse_env == "auto":
+        sparse = fast and dense_bytes > 8 * 2**30
     else:
-        t = _mk_bake_block(steps, p, kk, n, budget_bytes=6 * 2**30)
+        sparse = bool(int(sparse_env))
+
+    all_limbs = []
+    for party in range(parties):
+        exp = mk_tgsw_expand(
+            parts_ue[party], party, pk_bs, decomp_length, log2_base
+        )
+        if sparse:
+            nz = mk_nonzero_blocks(party, parties)
+            limbs = build_extern_operand_sparse(
+                exp, party, parties, decomp_length, nz)
+        else:
+            limbs = build_extern_operand(exp, party, parties, decomp_length)
+        all_limbs.append(limbs)
+    # Sparse keys stay a PER-PARTY TUPLE (a pytree of `parties` leaves):
+    # the fast path scans each party's leaf directly — slicing one big
+    # array under jit materializes a copy per party, which alone OOMs HBM
+    # at 8-party production (8 x 840 MB on top of the 6.6 GB key).
+    limbs = (tuple(all_limbs) if sparse
+             else jnp.concatenate(all_limbs, axis=0))
+
+    t = 0 if (fast or sparse) else _mk_bake_block(
+        steps, p, kk, n, budget_bytes=6 * 2**30)
     if t:
         limbs = conv.bake_block_toeplitz(limbs, t)
     return MKBootstrapKey(
-        limbs, parties, n_lwe, decomp_length, log2_base, n, t, noise_stddev
+        limbs, parties, n_lwe, decomp_length, log2_base, n, t, noise_stddev,
+        sparse,
     )
+
+
+def mk_nonzero_blocks(party: int, parties: int):
+    """Static nonzero (block_row j, output_col k) pairs of party's expanded
+    operand — the complement is structurally zero (see build_extern_operand;
+    reference placement src/mk_internals.jl:368-387): block row i touches
+    only columns {i, party, body}; the body row touches {party, body}.
+    NZ = 3*parties (vs dense (parties+1)^2): 13/25 at 4 parties, 25/81 at 8.
+    """
+    kk = parties + 1
+    pairs = set()
+    for i in range(parties):
+        if i != party:
+            pairs.add((i, i))
+        pairs.add((i, party))
+        pairs.add((i, kk - 1))
+    pairs.add((kk - 1, party))
+    pairs.add((kk - 1, kk - 1))
+    return tuple(sorted(pairs))
 
 
 def _use_mk_expand_kernel(bk: MKBootstrapKey) -> bool:
@@ -442,6 +508,8 @@ def _use_mk_expand_kernel(bk: MKBootstrapKey) -> bool:
     if bk.block != 0 or bk.polynomial_degree % 128 or \
             bk.polynomial_degree // 128 < 2:
         return False
+    if bk.sparse:  # sparse limbs exist ONLY for the expand kernel
+        return True
     if mode == "expand":
         return True
     if mode in ("xla", "prepared"):
@@ -470,13 +538,15 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
     bara_t = jnp.moveaxis(bara_flat, -1, 0)  # [steps, B]
 
     if _use_mk_expand_kernel(bk):
-        # Fast path: per-step on-the-fly Karatsuba expansion (copy-speed,
-        # no gathers — the MK key CANNOT be pre-baked at T=128: it would be
-        # 42-262 GB) feeding the tiled fused CMUX kernel. The T=16 baked /
+        # Fast path: per-step on-the-fly SPARSE expansion (the MK key CANNOT
+        # be pre-baked at T=128 — it would be 42-262 GB — and the expanded
+        # block matrix is mostly structural zeros) feeding the sparse-block
+        # fused CMUX kernel. Steps are party-major, so each party's n-step
+        # scan gets its own static nonzero-block pattern. The T<=64 baked /
         # prepared fallbacks below remain for CPU tests and odd geometries.
         from ..bootstrap import _default_depth
-        from ..ops.karatsuba import expand_karatsuba_step, karatsuba_plan
-        from ..ops.pallas_cmux import cmux_step_pallas_tiled
+        from ..ops.karatsuba import expand_karatsuba_sparse, karatsuba_plan
+        from ..ops.pallas_cmux import cmux_step_pallas_sparse
         from ..tgsw import decomp_offset
 
         n = bk.polynomial_degree
@@ -486,31 +556,49 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
         plan = karatsuba_plan(n // t, depth, b)
         offset = decomp_offset(l, b)
         k1 = bk.parties + 1
+        n_lwe = bk.lwe_size
         interpret = jax.default_backend() != "tpu"
 
-        def step(acc_a, xs):
-            limbs_i, bara_i = xs
-            e_i = expand_karatsuba_step(limbs_i, t, plan)
-            out = cmux_step_pallas_tiled(
-                acc_a, e_i, bara_i, n=n, k1=k1, l=l, b=b, t=t, plan=plan,
-                offset=offset, interpret=interpret,
-            )
-            return out, None
+        def make_step(nz):
+            def step(acc_a, xs):
+                limbs_i, bara_i = xs
+                e_i = expand_karatsuba_sparse(
+                    limbs_i, t, plan, nz, l, preselected=bk.sparse)
+                out = cmux_step_pallas_sparse(
+                    acc_a, e_i, bara_i, n=n, k1=k1, l=l, b=b, t=t,
+                    plan=plan, nz=nz, offset=offset, interpret=interpret,
+                )
+                return out, None
+            return step
 
         from ..noise import mk_blind_rotate_var
 
         cv_out = accum.cv + mk_blind_rotate_var(
             bk.parties, bk.lwe_size, l, b, bk.polynomial_degree,
             bk.noise_stddev)
-        if segments <= 1:
-            out_a, _ = jax.lax.scan(step, accum.a, (bk.limbs, bara_t))
-            return TLweSample(out_a, cv_out)
-        run_seg = jax.jit(lambda a, li, ba: jax.lax.scan(step, a, (li, ba))[0])
-        seg_len = -(-steps // segments)
+        seg_len = n_lwe if segments <= 1 else -(-n_lwe * bk.parties
+                                                // segments)
+        run_seg = jax.jit(
+            lambda a, li, ba, f: jax.lax.scan(f, a, (li, ba))[0],
+            static_argnums=3,
+        )
         acc_a = accum.a
-        for s0 in range(0, steps, seg_len):
-            acc_a = run_seg(
-                acc_a, bk.limbs[s0: s0 + seg_len], bara_t[s0: s0 + seg_len])
+        for party in range(bk.parties):
+            nz = mk_nonzero_blocks(party, bk.parties)
+            step = make_step(nz)
+            p0 = party * n_lwe
+            # sparse keys are per-party tuples (no jit-time slice copies)
+            limbs_p = (bk.limbs[party] if bk.sparse
+                       else bk.limbs[p0: p0 + n_lwe])
+            if segments <= 1:
+                acc_a, _ = jax.lax.scan(
+                    step, acc_a, (limbs_p, bara_t[p0: p0 + n_lwe]))
+            else:
+                for s0 in range(0, n_lwe, seg_len):
+                    s1 = min(s0 + seg_len, n_lwe)
+                    acc_a = run_seg(
+                        acc_a, limbs_p[s0:s1],
+                        bara_t[p0 + s0: p0 + s1], step)
         return TLweSample(acc_a, cv_out)
 
     if bk.block:

@@ -239,14 +239,12 @@ def expand_karatsuba_step(limbs_step, t: int, plan: KaratsubaPlan):
 
     limbs_step: int8[4, P, K, 2N] (prepare_shared_torus row). Returns the
     same [total_rows*P*T, K*4*T] int8 layout as `bake_karatsuba` — verified
-    bit-identical — but built with STATIC slices + stack (copy-bandwidth,
-    no gathers: TPU gathers run ~2 Gelem/s while copies run at HBM speed).
+    bit-identical — via the Toeplitz-selection int8 matmul (no gathers:
+    TPU gathers run ~2 Gelem/s while the MXU moves the same data at
+    134 GiB/s).
 
-    This is the multi-key path's key producer: the MK baked key would be
-    42-262 GB at T=128 (scales with T * parties^2), so it cannot be
-    pre-baked; instead each scan step expands its ~P*K*8KB compact row into
-    the ~40-150 MB dense leaf layout on the fly, at copy cost that hides
-    under the step's matmuls.
+    Kept as the DENSE expansion; the multi-key hot path uses
+    `expand_karatsuba_sparse` below (same machinery, nonzero blocks only).
     """
     four, p, k, n2 = limbs_step.shape
     n = n2 // 2
@@ -304,6 +302,78 @@ def expand_karatsuba_step(limbs_step, t: int, plan: KaratsubaPlan):
     )  # [T*T, 4*R*P*K]
     e = prod.reshape(t, t, four, r, p, k).transpose(3, 4, 0, 5, 2, 1)
     return e.astype(jnp.int8).reshape(plan.total_rows * p * t, k * 4 * t)
+
+
+def expand_karatsuba_sparse(limbs_step, t: int, plan: KaratsubaPlan,
+                            nz, l: int, preselected: bool = False):
+    """Sparse-block variant of `expand_karatsuba_step` for the multi-key
+    operand, whose (parties+1)^2 block matrix is mostly structural zeros
+    (reference block placement: src/mk_internals.jl:368-387 — only columns
+    {i, party, body} of block row i carry data). Expands ONLY the `nz`
+    static (j_blockrow, k_col) pairs.
+
+    limbs_step: int8[4, P=(kk*l), K=kk, 2N] (dense prepared rows), or, with
+    preselected=True, int8[4, NZ, l, 2N] (sparse-stored keys,
+    build_extern_operand_sparse — same nz order). Returns
+    int8[total_rows * NZ * l * T, 4 * T]: rows (entry r, nz index z, l', u)
+    with entries in bake order, cols (limb, w) for that block's single
+    output column. ~NZ/(kk^2) of the dense bytes AND MACs (13/25 at 4
+    parties, 25/81 at 8).
+    """
+    four = limbs_step.shape[0]
+    n2 = limbs_step.shape[-1]
+    n = n2 // 2
+    m = n // t
+    assert plan.m == m
+    lw = 2 * t + 1
+    words = (
+        limbs_step[0].astype(_I32)
+        + (limbs_step[1].astype(_I32) << 8)
+        + (limbs_step[2].astype(_I32) << 16)
+        + (limbs_step[3].astype(_I32) << 24)
+    )
+    if preselected:
+        assert words.shape[:2] == (len(nz), l)  # [NZ, l, 2N] already
+    else:
+        # select the nonzero (j, k) blocks BEFORE windowing: [NZ, l, 2N]
+        words = jnp.stack(
+            [lax.slice_in_dim(words, j * l, (j + 1) * l, axis=0)[:, kc]
+             for (j, kc) in nz])
+
+    def window(d):
+        lo = d * t - t
+        if 0 <= lo and lo + lw <= n2:
+            return lax.slice_in_dim(words, lo, lo + lw, axis=-1)
+        if lo < 0:
+            return jnp.concatenate(
+                [lax.slice_in_dim(words, n2 + lo, n2, axis=-1),
+                 lax.slice_in_dim(words, 0, lo + lw, axis=-1)], axis=-1)
+        return jnp.concatenate(
+            [lax.slice_in_dim(words, lo, n2, axis=-1),
+             lax.slice_in_dim(words, 0, lo + lw - n2, axis=-1)], axis=-1)
+
+    from .conv import split_torus_limbs
+
+    combos = []
+    for lf in plan.leaves:
+        for entry in reversed(lf.entries):
+            comb = window(entry[0])
+            for d in entry[1:]:
+                comb = comb + window(d)  # int32 wraparound: exact
+            combos.append(comb)
+    r = len(combos)
+    nzn = len(nz)
+    lb = split_torus_limbs(jnp.stack(combos))  # [4, R, NZ, l, LW] int8
+
+    sel = jnp.asarray(_toeplitz_select(t, lw))  # [T*T, LW] int8
+    flat = lb.reshape(four * r * nzn * l, lw)
+    prod = lax.dot_general(
+        sel, flat.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [T*T, 4*R*NZ*l]
+    e = prod.reshape(t, t, four, r, nzn, l).transpose(3, 4, 5, 0, 2, 1)
+    # [R, NZ, l, T(u), 4, T(w)]
+    return e.astype(jnp.int8).reshape(r * nzn * l * t, 4 * t)
 
 
 

@@ -435,86 +435,64 @@ def _leaf_dots_body(dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf_dots, *,
                 )
 
 
-def _tile_plan(plan, p: int, t: int, k1: int, col_groups: int,
-               p_chunk: int):
-    """Static tiling metadata for the big-operand (multi-key) kernel.
+def _sparse_plan(plan, l: int, p: int, t: int, nz):
+    """Static metadata for the sparse-block multi-key kernel.
 
-    Emits, per column group, per leaf output o, the list of E tiles
-    (row0, n_rows) each paired with its digit-side source rows — tiles are
-    (entry, p-range) sub-blocks so every lhs/e slice stays contiguous.
-    Returns (units, tile_list): `units` drive compute (one unit = one
-    (leaf, o, colgroup) product, with its tile indices into `tile_list`),
-    `tile_list` drives the DMA stream.
+    One unit per (leaf, nonzero (j, k) block): `e_tiles` are the E row
+    offsets of the leaf's L entry-tiles (each [l*T, 4T], contiguous in the
+    expand_karatsuba_sparse layout), `outs` give, per linear-conv output o,
+    the digit-side operand descs (j-sliced out of the dense dig/dcomb
+    buffers) and the folded scatter positions into output column k.
     """
     combo_writes, leaf_dots, comb_rows = _kernel_plan(
         plan, p, t, inline_combos=True)
-    assert p % p_chunk == 0
-    n_pc = p // p_chunk
+    lt = l * t
     pt = p * t
-    pct = p_chunk * t
-    cols = k1 * 4 * t
-    assert (k1 * 4) % col_groups == 0
-    gcols = cols // col_groups
-
-    tile_list = []
+    m = plan.m
+    nzn = len(nz)
     units = []
-    for cg in range(col_groups):
-        c0 = cg * gcols
-        group_ids = tuple(
-            ((c0 // t + j) // 4, (c0 // t + j) % 4)
-            for j in range(gcols // t)
-        )
-        m = plan.m
-        for li, (e_row, L, lhs_descs, contribs) in enumerate(leaf_dots):
+    for e_row, L, lhs_descs, contribs in leaf_dots:
+        for zi, (j, k_col) in enumerate(nz):
+            e_tiles = tuple(
+                ((e_row + a) * nzn + zi) * lt for a in range(L))
+            outs = []
             for o in range(2 * L - 1):
                 i0, i1 = max(0, o - L + 1), min(L - 1, o)
-                tids = []
-                lhs_rows = []
+                ops = []
                 for i in range(i0, i1 + 1):
-                    for pc in range(n_pc):
-                        r0 = (e_row + (L - 1 - o + i)) * pt + pc * pct
-                        tids.append(len(tile_list))
-                        tile_list.append((r0, pct, c0, gcols))
-                        descs = []
-                        for desc in lhs_descs:
-                            if desc[0] == 2:  # inline digit-block sum
-                                descs.append((2, tuple(
-                                    blk * pt + pc * pct
-                                    for blk in desc[1][i]), 0))
-                            else:
-                                buf, row0, sh = desc
-                                descs.append(
-                                    (buf, (row0 + i) * pt + pc * pct, sh))
-                        lhs_rows.append(tuple(descs))
-                # absolute folded output positions for this o
+                    a = L - 1 - o + i  # packed (reversed) entry slot
+                    descs = []
+                    for desc in lhs_descs:
+                        if desc[0] == 2:  # inline digit-block sum
+                            descs.append((2, tuple(
+                                blk * pt + j * lt for blk in desc[1][i]), 0))
+                        else:
+                            buf, row0, sh = desc
+                            descs.append((buf, (row0 + i) * pt + j * lt, sh))
+                    ops.append((a, tuple(descs)))
                 placed = []
                 for off, sgn in contribs:
                     pos = off + o
                     if pos >= 2 * m - 1:
                         continue
                     placed.append((pos % m, sgn if pos < m else -sgn))
-                units.append((tuple(tids), tuple(lhs_rows), tuple(placed),
-                              group_ids))
-    return combo_writes, tuple(units), tuple(tile_list), comb_rows
+                outs.append((tuple(ops), tuple(placed)))
+            units.append((e_tiles, k_col, tuple(outs)))
+    return combo_writes, tuple(units), comb_rows
 
 
-def _tiled_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
-                            dig_ref, dcomb_ref, ebuf_ref, rot_ref,
-                            sem, sem_io, *, n, k1, l, b, t, offset,
-                            combo_writes, units, tile_list, dig_i32):
-    """Fused CMUX step for operands too large for whole-leaf VMEM buffers
-    (the multi-key external product: P = (parties+1)*l, K = parties+1).
-    E streams in (p-chunk x column-group) tiles with double-buffered DMA;
-    each (leaf, output, colgroup) unit accumulates its tiles' dots into a
-    VMEM product accumulator, recombines limb columns, and scatters into
-    the fold accumulator. Bit-exact vs mux_rotate_karatsuba.
+def _sparse_mk_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref, dig_ref,
+                      dcomb_ref, ebuf_ref, rot_ref, sem, sem_io, *, n, k1, l,
+                      b, t, offset, combo_writes, units, dig_i32):
+    """Fused multi-key CMUX step over the SPARSE block structure: only the
+    nonzero (block row, output column) pairs of the expanded operand are
+    streamed and multiplied, and a leaf's L entry-tiles stay resident in
+    VMEM for all its 2L-1 outputs (the dense tiled kernel re-streamed each
+    entry per output). Bit-exact vs the prepared XLA path.
     """
-    m = n // t
-    p = k1 * l
-    pt = p * t
+    lt = l * t
     bt = acc_ref.shape[0]
     c = pl.program_id(0)
-    kt = k1 * t
 
     cp_in = pltpu.make_async_copy(
         acc_hbm.at[pl.ds(c * bt, bt)], acc_ref, sem_io)
@@ -525,73 +503,143 @@ def _tiled_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
         acc_ref, rot_ref, dig_ref, bara_ref[:, 0],
         n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32,
         acc_flat=True)
-    _combo_body(dig_ref, dcomb_ref, combo_writes, pt)
-    # deltas scatter DIRECTLY into acc_ref below (the rotation has already
-    # consumed the old accumulator) — no separate fold buffer
+    _combo_body(dig_ref, dcomb_ref, combo_writes, k1 * lt)
 
-    def tile_dma(j, slot):
-        r0, nr, c0, nc = tile_list[j]
-        return pltpu.make_async_copy(
-            e_hbm.at[pl.ds(r0, nr), pl.ds(c0, nc)],
-            ebuf_ref.at[slot, pl.ds(0, nr), pl.ds(0, nc)],
-            sem.at[slot],
-        )
+    def unit_dmas(ui, slot):
+        e_tiles = units[ui][0]
+        return [
+            pltpu.make_async_copy(
+                e_hbm.at[pl.ds(r0, lt)],
+                ebuf_ref.at[slot, pl.ds(a * lt, lt)],
+                sem.at[slot, a],
+            )
+            for a, r0 in enumerate(e_tiles)
+        ]
 
-    n_tiles = len(tile_list)
-    tile_dma(0, 0).start()
-    tctr = 0  # global tile counter (static: loops are unrolled)
-    for tids, lhs_rows, contribs, group_ids in units:
-        gcols = tile_list[tids[0]][3]
-        pacc = None
-        for ti, j in enumerate(tids):
-            if j + 1 < n_tiles:
-                tile_dma(j + 1, (j + 1) % 2).start()
-            tile_dma(j, j % 2).wait()
-            r0, nr, c0, nc = tile_list[j]
-            rhs = ebuf_ref[j % 2, pl.ds(0, nr), pl.ds(0, nc)]
-            rec = None
-            for buf, lrow0, d_shift in lhs_rows[ti]:
-                if buf == 2:
-                    # inline combo: Mosaic has no int8 vector arithmetic —
-                    # sum in int32, then narrow (exact: plan bounds fit int8)
-                    lhs = dig_ref[:, lrow0[0]: lrow0[0] + nr].astype(jnp.int32)
-                    for r in lrow0[1:]:
-                        lhs = lhs + dig_ref[:, r: r + nr].astype(jnp.int32)
-                    lhs = lhs.astype(jnp.int8)
-                else:
-                    src = dcomb_ref if buf else dig_ref
-                    lhs = src[:, lrow0: lrow0 + nr]
-                    if dig_i32 and buf == 0:
+    n_units = len(units)
+    for cp in unit_dmas(0, 0):
+        cp.start()
+    for ui, (e_tiles, k_col, outs) in enumerate(units):
+        slot = ui % 2
+        if ui + 1 < n_units:
+            for cp in unit_dmas(ui + 1, (ui + 1) % 2):
+                cp.start()
+        for cp in unit_dmas(ui, slot):
+            cp.wait()
+        for ops, placed in outs:
+            pacc = None
+            for a, descs in ops:
+                rhs = ebuf_ref[slot, pl.ds(a * lt, lt), :]
+                rec = None
+                for buf, lrow0, d_shift in descs:
+                    if buf == 2:
+                        # Mosaic has no int8 vector adds: sum in int32, then
+                        # narrow (exact: plan bounds digit sums to int8)
+                        lhs = dig_ref[:, lrow0[0]: lrow0[0] + lt].astype(
+                            jnp.int32)
+                        for rr in lrow0[1:]:
+                            lhs = lhs + dig_ref[:, rr: rr + lt].astype(
+                                jnp.int32)
                         lhs = lhs.astype(jnp.int8)
-                prod = lax.dot_general(
-                    lhs, rhs, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                if d_shift:
-                    prod = prod << d_shift
-                rec = prod if rec is None else rec + prod
-            pacc = rec if pacc is None else pacc + rec
-        # limb-recombine this column group's products into per-k words and
-        # fold/scatter into cacc: each local (k, limb) group contributes
-        # (prod << 8*limb) to word k — linearity makes partial column
-        # groups exact (int32 wraparound)
-        words = {}
-        for gi, (k, limb) in enumerate(group_ids):
-            contrib = pacc[:, gi * t: (gi + 1) * t]
-            if limb:
-                contrib = contrib << (8 * limb)
-            words[k] = contrib if k not in words else words[k] + contrib
-        for posm, sgn_f in contribs:
-            for k, wk in words.items():
-                dst = slice(k * n + posm * t, k * n + (posm + 1) * t)
-                acc_ref[:, dst] = (
-                    acc_ref[:, dst] + wk if sgn_f == 1
-                    else acc_ref[:, dst] - wk
-                )
+                    else:
+                        src = dcomb_ref if buf else dig_ref
+                        lhs = src[:, lrow0: lrow0 + lt]
+                        if dig_i32 and buf == 0:
+                            lhs = lhs.astype(jnp.int8)
+                    prod = lax.dot_general(
+                        lhs, rhs, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    if d_shift:
+                        prod = prod << d_shift
+                    rec = prod if rec is None else rec + prod
+                pacc = rec if pacc is None else pacc + rec
+            word = pacc[:, 0:t]
+            for limb in range(1, 4):
+                word = word + (pacc[:, limb * t: (limb + 1) * t] << (8 * limb))
+            for posm, sgn in placed:
+                dst = pl.ds(k_col * n + posm * t, t)
+                if sgn == 1:
+                    acc_ref[:, dst] = acc_ref[:, dst] + word
+                else:
+                    acc_ref[:, dst] = acc_ref[:, dst] - word
 
     cp_out = pltpu.make_async_copy(
         acc_ref, out_hbm.at[pl.ds(c * bt, bt)], sem_io)
     cp_out.start()
     cp_out.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k1", "l", "b", "t", "plan", "nz", "offset",
+                     "interpret", "btk"),
+)
+def cmux_step_pallas_sparse(acc, e_step, bara, *, n, k1, l, b, t, plan, nz,
+                            offset, interpret=False, btk=None):
+    """Sparse-block multi-key CMUX step (reference contraction:
+    src/mk_internals.jl:368-387, which also only touches the nonzero
+    blocks). acc: int32[B, k1, N]; e_step: expand_karatsuba_sparse layout;
+    bara: int32[B]; nz: static ((j, k), ...) nonzero block pairs.
+    Bit-exact vs mux_rotate_karatsuba / the prepared XLA path.
+    """
+    assert n & (n - 1) == 0
+    b_sz = acc.shape[0]
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    lt = l * t
+
+    combo_writes, units, comb_rows = _sparse_plan(plan, l, p, t, nz)
+    dig_i32 = b > 8
+    max_l = max(len(u[0]) for u in units)
+
+    if btk is None:
+        btk = _env_tile("TFHE_TPU_BTMK", 0)
+    if not btk:
+        ebuf = 2 * max_l * lt * 4 * t
+
+        def scratch(bt_):
+            return bt_ * (
+                k1 * n * 4 + m * pt * (4 if dig_i32 else 1)
+                + max(comb_rows, 1) * pt + n * 4)
+
+        # Largest batch tile whose scratches + double-buffered E tiles fit
+        # ~14 MB of the 16 MB VMEM: fewer grid cells = fewer re-streams of
+        # the per-step sparse E operand (8-party scratches force 64).
+        btk = 64
+        for cand in (256, 128):
+            if scratch(cand) + ebuf <= 14 * 2**20:
+                btk = cand
+                break
+    bt = _pick_tile(b_sz, btk)
+
+    fn = functools.partial(
+        _sparse_mk_kernel,
+        n=n, k1=k1, l=l, b=b, t=t, offset=offset,
+        combo_writes=combo_writes, units=units, dig_i32=dig_i32,
+    )
+    out = pl.pallas_call(
+        fn,
+        out_shape=jax.ShapeDtypeStruct((b_sz, k1 * n), jnp.int32),
+        grid=(b_sz // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((bt, k1 * n), jnp.int32),  # acc tile (2D: k1 may be odd)
+            pltpu.VMEM((bt, m * pt), jnp.int32 if dig_i32 else jnp.int8),
+            pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),
+            pltpu.VMEM((2, max_l * lt, 4 * t), jnp.int8),
+            pltpu.VMEM((bt, n), jnp.int32),  # rotate barrel scratch
+            pltpu.SemaphoreType.DMA((2, max_l)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(bara.reshape(b_sz, 1), acc.reshape(b_sz, k1 * n), e_step)
+    return out.reshape(b_sz, k1, n)
 
 
 def _blind_rotate_megakernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
@@ -680,94 +728,6 @@ def _blind_rotate_megakernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
         acc_ref, out_hbm.at[pl.ds(c * bt, bt)], sem_io)
     cp_out.start()
     cp_out.wait()
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n", "k1", "l", "b", "t", "plan", "offset", "interpret",
-                     "btk", "p_chunk", "col_groups"),
-)
-def cmux_step_pallas_tiled(acc, e_step, bara, *, n, k1, l, b, t, plan,
-                           offset, interpret=False, btk=None,
-                           p_chunk=None, col_groups=None):
-    """Fused CMUX step for large (P, K) operands — the multi-key external
-    product (reference: src/mk_internals.jl:348-391). E streams in
-    (p-chunk x column-group) tiles; digit combos are summed inline.
-
-    acc: int32[B, k1, N] with k1 = parties+1; e_step: the
-    expand_karatsuba_step / bake_karatsuba layout for this step's operand;
-    bara: int32[B]. Bit-exact vs mux_rotate_karatsuba.
-    """
-    assert n & (n - 1) == 0
-    b_sz = acc.shape[0]
-    m = n // t
-    p = k1 * l
-    pt = p * t
-    cols = k1 * 4 * t
-
-    if col_groups is None:
-        # CONTIGUOUS tiles only: column-split tiles make every DMA row
-        # row-strided (huge effective-bandwidth loss); keep full-width
-        # columns and shrink the row chunk to fit the ~2 MB tile budget.
-        col_groups = 1
-    if p_chunk is None:
-        budget = 1 << 21
-        p_chunk = 1
-        for pc in range(p, 0, -1):
-            if p % pc == 0 and pc * t * (cols // col_groups) <= budget:
-                p_chunk = pc
-                break
-
-    combo_writes, units, tile_list, comb_rows = _tile_plan(
-        plan, p, t, k1, col_groups, p_chunk)
-    dig_i32 = b > 8
-
-    def vmem_at(bt_):
-        # acc + dig + dcomb + rot scratches (ebuf added by caller budget)
-        return bt_ * (k1 * n * 4 + m * pt * (4 if dig_i32 else 1)
-                      + max(comb_rows, 1) * pt + n * 4)
-
-    if btk is None:
-        btk = _env_tile("TFHE_TPU_BTMK", 0)
-    if not btk:
-        # Largest batch tile whose scratches + double-buffered E tiles fit
-        # ~14 MB of the 16 MB VMEM: fewer grid cells means fewer re-streams
-        # of the whole per-step E operand (the dominant DMA cost at >= 4
-        # parties: E is re-read once per cell).
-        ebuf = 2 * p_chunk * t * (cols // col_groups)
-        btk = 256 if vmem_at(256) + ebuf <= 14 * 2**20 else 128
-    bt = _pick_tile(b_sz, btk)
-
-    fn = functools.partial(
-        _tiled_karatsuba_kernel,
-        n=n, k1=k1, l=l, b=b, t=t, offset=offset,
-        combo_writes=combo_writes, units=units, tile_list=tile_list,
-        dig_i32=dig_i32,
-    )
-    max_r = max(nr for _, nr, _, _ in tile_list)
-    max_c = max(nc for _, _, _, nc in tile_list)
-    out = pl.pallas_call(
-        fn,
-        out_shape=jax.ShapeDtypeStruct((b_sz, k1 * n), jnp.int32),
-        grid=(b_sz // bt,),
-        in_specs=[
-            pl.BlockSpec((bt, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((bt, k1 * n), jnp.int32),  # acc tile, 2D (k1 may be odd)
-            pltpu.VMEM((bt, m * pt), jnp.int32 if dig_i32 else jnp.int8),
-            pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),
-            pltpu.VMEM((2, max_r, max_c), jnp.int8),
-            pltpu.VMEM((bt, n), jnp.int32),  # rotate barrel scratch
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(bara.reshape(b_sz, 1), acc.reshape(b_sz, k1 * n), e_step)
-    return out.reshape(b_sz, k1, n)
 
 
 @functools.partial(

@@ -46,9 +46,12 @@ def main():
     t0 = time.time()
     mck = mk.make_mk_cloud_key(parts)
     jax.block_until_ready(mck.bootstrap_key.limbs)
+    key_mb = sum(x.nbytes for x in jax.tree_util.tree_leaves(
+        mck.bootstrap_key.limbs)) / 2**20
     print(f"expansion: {time.time()-t0:.1f}s "
           f"(block={mck.bootstrap_key.block}, "
-          f"key={mck.bootstrap_key.limbs.nbytes/2**20:.0f} MB)", flush=True)
+          f"sparse={mck.bootstrap_key.sparse}, key={key_mb:.0f} MB)",
+          flush=True)
 
     rng = np.random.default_rng(1)
     xs = jnp.asarray(rng.integers(0, 2, batch).astype(bool))
