@@ -109,6 +109,38 @@ def test_blind_rotate_megakernel_matches_xla(rng, n, l, b, t, depth):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.mark.parametrize(
+    "n,l,b,t,depth",
+    [
+        (256, 3, 7, 32, 2),   # M=8, depth 2 (production shape)
+        (256, 2, 10, 32, 2),  # 80-bit-style two-limb digits
+        (256, 3, 7, 32, 3),   # full depth: 27 leaves, 3-slot ring
+    ],
+)
+def test_blind_rotate_pipelined_matches_xla(rng, n, l, b, t, depth):
+    """Two-subtile pipelined megakernel (interpret) == XLA scan, bitwise."""
+    from tfhe_tpu.ops.pallas_cmux import blind_rotate_pallas_pipelined
+
+    k1, n_lwe, batch = 2, 5, 8
+    gsw = rand_t32(rng, (n_lwe, l, k1, k1, n))
+    bk = bs.bootstrap_key_from_raw(gsw, l, b, block=t, depth=depth)
+    acc0 = rand_t32(rng, (batch, k1, n))
+    bara = rng.integers(0, 2 * n, size=(batch, n_lwe)).astype(np.int32)
+    bara[0, 0] = 0  # no-op lane
+
+    want = acc0
+    for s in range(n_lwe):
+        want = bs.mux_rotate_karatsuba(
+            want, bk.baked[s], bara[:, s], l, b, t, bk.plan)
+
+    got = blind_rotate_pallas_pipelined(
+        acc0, bk.baked, jnp.asarray(bara).T,
+        n=n, k1=k1, l=l, b=b, t=t, plan=bk.plan,
+        offset=decomp_offset(l, b), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_blind_rotate_pallas_dispatch(rng, monkeypatch):
     """Full blind rotate through the Pallas path (interpret) == XLA path."""
     n, l, b, k1, n_lwe, batch = 64, 3, 7, 2, 6, 4

@@ -230,14 +230,30 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
     if bk.depth:
         plan = bk.plan
         if _use_pallas_cmux() and (interpret or t == 128):
-            from .ops.pallas_cmux import blind_rotate_pallas_karatsuba
+            from .ops.pallas_cmux import (
+                blind_rotate_pallas_karatsuba,
+                blind_rotate_pallas_pipelined,
+            )
             from .noise import blind_rotate_var
             from .tgsw import decomp_offset
 
             # ONE kernel launch for the whole rotation (megakernel): the
             # accumulator stays in VMEM across all n steps per batch cell.
+            # The two-subtile pipelined variant overlaps each subtile's VPU
+            # rotate/decompose with the other's MXU dots and shares one E
+            # fetch ring — the default for batches of >= 2 full cells
+            # (TFHE_TPU_PIPE=0/1 forces).
             bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)
-            out_a = blind_rotate_pallas_karatsuba(
+            pipe_env = __import__("os").environ.get("TFHE_TPU_PIPE", "auto")
+            b_sz = accum.a.shape[0]
+            use_pipe = (
+                b_sz % 256 == 0 if pipe_env == "auto" else pipe_env == "1"
+            )
+            rotate_fn = (
+                blind_rotate_pallas_pipelined if use_pipe
+                else blind_rotate_pallas_karatsuba
+            )
+            out_a = rotate_fn(
                 accum.a, bk.baked, bara_t,
                 n=bk.polynomial_degree, k1=bk.mask_size + 1, l=l, b=b, t=t,
                 plan=plan, offset=decomp_offset(l, b), interpret=interpret,

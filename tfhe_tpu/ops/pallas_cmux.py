@@ -435,6 +435,407 @@ def _leaf_dots_body(dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf_dots, *,
                 )
 
 
+def _one_leaf_dots(dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf, slot, *,
+                   k1, t, pt, m, dig_i32):
+    """Emit the dots + limb recombine + fold/scatter for ONE leaf against the
+    E tile resident in ebuf slot `slot`.
+
+    All 2L-1 output dots are issued BEFORE any recombine/fold: each
+    recombine depends only on its own dot, so the VPU epilogue of output o
+    can run while the MXU is still crunching outputs o+1... — emitting
+    dot -> recon -> dot serially instead measurably stalls the MXU behind
+    each output's VPU tail.
+    """
+    kt = k1 * t
+    e_row, L, lhs_descs, contribs = leaf
+    recs = []
+    for o in range(2 * L - 1):
+        i0, i1 = max(0, o - L + 1), min(L - 1, o)
+        width = (i1 - i0 + 1) * pt
+        rhs = ebuf_ref[slot, pl.ds((L - 1 - o + i0) * pt, width)]
+        rec = None
+        for buf_id, row0, d_shift in lhs_descs:
+            src = dcomb_ref if buf_id else dig_ref
+            lhs = src[:, (row0 + i0) * pt: (row0 + i0) * pt + width]
+            if dig_i32 and buf_id == 0:
+                lhs = lhs.astype(jnp.int8)
+            prod = lax.dot_general(
+                lhs, rhs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            if d_shift:
+                prod = prod << d_shift
+            rec = prod if rec is None else rec + prod
+        recs.append(rec)
+    for o, rec in enumerate(recs):
+        word = None
+        for k in range(k1):
+            wk = rec[:, (k * 4) * t: (k * 4 + 1) * t]
+            for limb in range(1, 4):
+                wk = wk + (
+                    rec[:, (k * 4 + limb) * t: (k * 4 + limb + 1) * t]
+                    << (8 * limb)
+                )
+            word = wk if word is None else jnp.concatenate(
+                [word, wk], axis=-1)
+        for off, sgn in contribs:
+            pos = off + o
+            if pos >= 2 * m - 1:
+                continue
+            sgn_f = sgn if pos < m else -sgn
+            posm = pos % m
+            cur = cacc_ref[:, posm * kt: (posm + 1) * kt]
+            cacc_ref[:, posm * kt: (posm + 1) * kt] = (
+                cur + word if sgn_f == 1 else cur - word
+            )
+
+
+def _rotate_decompose_thunks(acc_ref, scr_ref, dig_ref, bara_row, *, n, k1, l,
+                             b, t, offset, dig_i32):
+    """The rotate+decompose of `_rotate_decompose_body` as a list of 0-arg
+    thunks, so the pipelined megakernel can interleave this subtile's VPU
+    work between the OTHER subtile's MXU leaf dots. Sequential execution of
+    the thunks is bit-identical to `_rotate_decompose_body`.
+
+    scr_ref must be a [BT, >=N] int32 region private to this subtile; it
+    carries the barrel state between thunks and holds `shifted` for the
+    digit-extraction thunks.
+    """
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    stages = (n - 1).bit_length()
+    half_stages = stages // 2
+    mask = jnp.int32((1 << b) - 1)
+    half = jnp.int32(1 << (b - 1))
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+    def shifts():
+        shift2 = jnp.mod(bara_row[:, None], 2 * n)
+        return shift2 & (n - 1), shift2 >= n
+
+    thunks = []
+    for j in range(k1):
+        def t_lo(j=j):
+            shift1, _ = shifts()
+            scr_ref[:, 0:n] = acc_ref[:, j, :]
+            for s in range(half_stages):
+                cur = scr_ref[:, 0:n]
+                rolled = pltpu.roll(cur, 1 << s, axis=1)
+                take = (shift1 >> s) & 1
+                scr_ref[:, 0:n] = jnp.where(take != 0, rolled, cur)
+
+        def t_hi(j=j):
+            shift1, wrap = shifts()
+            for s in range(half_stages, stages):
+                cur = scr_ref[:, 0:n]
+                rolled = pltpu.roll(cur, 1 << s, axis=1)
+                take = (shift1 >> s) & 1
+                scr_ref[:, 0:n] = jnp.where(take != 0, rolled, cur)
+            flip = (col >= shift1) ^ (~wrap)
+            rotated = jnp.where(
+                flip, -scr_ref[:, 0:n], scr_ref[:, 0:n])
+            scr_ref[:, 0:n] = rotated - acc_ref[:, j, :] + jnp.int32(offset)
+
+        thunks.extend([t_lo, t_hi])
+        for i_l in range(l):
+            def t_dig(j=j, i_l=i_l):
+                d = ((scr_ref[:, 0:n] >> (32 - (i_l + 1) * b)) & mask) - half
+                for i in range(m):
+                    seg = slice(i * pt + (j * l + i_l) * t,
+                                i * pt + (j * l + i_l + 1) * t)
+                    blk = d[:, i * t: (i + 1) * t]
+                    dig_ref[:, seg] = blk if dig_i32 else blk.astype(jnp.int8)
+
+            thunks.append(t_dig)
+    return thunks
+
+
+def _combo_thunks(dig_ref, dcomb_ref, combo_writes, pt, groups=2):
+    """`_combo_body` split into `groups` thunks (appended after the rotate
+    thunks — combos read the full digit buffer)."""
+    if not combo_writes:
+        return []
+    chunks = []
+    per = max(1, -(-len(combo_writes) // groups))
+    for g0 in range(0, len(combo_writes), per):
+        part = combo_writes[g0: g0 + per]
+
+        def t_comb(part=part):
+            _combo_body(dig_ref, dcomb_ref, part, pt)
+
+        chunks.append(t_comb)
+    return chunks
+
+
+def _pipelined_visits(n_leaves: int, n_slots: int):
+    """Static leaf-visit schedule for the two-subtile pipelined megakernel.
+
+    Both subtiles read the SAME per-step E leaves from one shared slot ring.
+    Slots are assigned by VISIT POSITION (slot = v % n_slots over the
+    2*n_leaves-visit step cycle, requiring n_slots | 2*n_leaves), so any
+    ring size works and every slot's occupancy windows are exactly n_slots
+    visits apart. That makes the "start the fetch for visit v at visit
+    v - (n_slots-1)" rule safe — the previous occupant's last read is at
+    v - n_slots — and gives a fetch lead of n_slots - 1 leaf-dot times.
+
+    * phase 1 (subtile A): leaves ascending, all fetched.
+    * phase 2 (subtile B): first re-read the min(n_slots, n_leaves) - 0 ...
+      tiles still resident from phase 1's tail (the leaf whose phase-1 visit
+      shares the slot), then fetch the remaining leaves.
+
+    Returns (visits, lead): visits is a 2*n_leaves tuple of
+    (subtile, leaf, slot, fetch?, starts) where starts lists
+    (dstep, leaf, slot) fetches to kick off at this visit.
+    """
+    n_v = 2 * n_leaves
+    assert n_v % n_slots == 0 and n_slots <= n_leaves
+    lead = n_slots - 1
+    p1 = list(range(n_leaves))
+    # phase-2 rereads: visit v' (= n_leaves..) shares slot with phase-1
+    # visit v' - n_slots; reread that leaf while it is still resident
+    reread = [p1[v - n_slots] for v in range(n_leaves, n_leaves + n_slots)
+              if v - n_slots < n_leaves]
+    rest = [lf for lf in reversed(range(n_leaves)) if lf not in reread]
+    p2 = reread + rest
+    assert sorted(p2) == list(range(n_leaves))
+    seq = [(0, lf, True) for lf in p1] + [
+        (1, lf, i >= len(reread)) for i, lf in enumerate(p2)]
+    visits = [
+        [sub, lf, v % n_slots, fetch, []]
+        for v, (sub, lf, fetch) in enumerate(seq)
+    ]
+    # attach each fetch to the visit `lead` positions earlier; wrapping past
+    # the cycle start means the start is issued during the PREVIOUS cycle,
+    # i.e. with dstep +1 relative to the issuing step
+    for v, (sub, lf, slot, fetch, _) in enumerate(visits):
+        if fetch:
+            src = (v - lead) % n_v
+            visits[src][4].append((1 if v - lead < 0 else 0, lf, slot))
+    out = []
+    for v, (sub, lf, slot, fetch, starts) in enumerate(visits):
+        fixed = tuple(
+            (1 if v + lead >= n_v else dstep, f_lf, f_slot)
+            for (dstep, f_lf, f_slot) in starts
+        )
+        out.append((sub, lf, slot, fetch, fixed))
+    return tuple(out), lead
+
+
+def _blind_rotate_pipelined_kernel(
+        bara_ref, acc_hbm, e_hbm, out_hbm, acc_a_ref, acc_b_ref, dig_a_ref,
+        dig_b_ref, dcomb_a_ref, dcomb_b_ref, ebuf_ref, cacc_a_ref, cacc_b_ref,
+        sem, sem_io, *, n, k1, l, b, t, offset, combo_writes, leaf_dots,
+        dig_i32, n_steps, n_slots, visits):
+    """Two-subtile software-pipelined blind rotation (one launch).
+
+    Each 2*BT-row batch cell is split into independent subtiles A and B.
+    Step s runs as two phases: phase 1 = A's leaf dots (MXU) interleaved
+    with B's rotate/decompose thunks (VPU) for step s; phase 2 = B's dots
+    interleaved with A's rotate for step s+1. The VPU work that the serial
+    megakernel paid ~0.26 ms/step for thus overlaps the MXU dots, and both
+    subtiles share one E fetch stream (schedule: `_pipelined_visits`).
+    Bit-exact vs the serial megakernel by construction (same thunk bodies,
+    same order per subtile).
+    """
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    bt = acc_a_ref.shape[0]
+    c = pl.program_id(0)
+    n_leaves = len(leaf_dots)
+
+    cp_a = pltpu.make_async_copy(
+        acc_hbm.at[pl.ds(c * 2 * bt, bt)], acc_a_ref, sem_io)
+    cp_b = pltpu.make_async_copy(
+        acc_hbm.at[pl.ds(c * 2 * bt + bt, bt)], acc_b_ref, sem_io)
+    cp_a.start()
+    cp_b.start()
+
+    def e_dma(step, li, slot):
+        e_row, L, _, _ = leaf_dots[li]
+        return pltpu.make_async_copy(
+            e_hbm.at[step, pl.ds(e_row * pt, L * pt)],
+            ebuf_ref.at[slot, pl.ds(0, L * pt)],
+            sem.at[slot],
+        )
+
+    # warm-up: fetches owed to the first `lead` visits of step 0
+    lead = n_slots - 1
+    for v in range(lead):
+        sub, lf, slot, fetch, _ = visits[v]
+        if fetch:
+            e_dma(0, lf, slot).start()
+    cp_a.wait()
+    cp_b.wait()
+
+    refs = (
+        (acc_a_ref, dig_a_ref, dcomb_a_ref, cacc_a_ref),
+        (acc_b_ref, dig_b_ref, dcomb_b_ref, cacc_b_ref),
+    )
+
+    def rotate_thunks(sub, s_idx):
+        acc_r, dig_r, dcomb_r, cacc_r = refs[sub]
+        # clamp: at the last step, phase 2 builds (guarded, skipped) thunks
+        # for step n_steps — the row load itself must stay in bounds.
+        # bara_ref is [1, 2, n_steps, BT]: static subtile index ahead of the
+        # step index, so the dynamic step load starts at lane offset 0
+        # (Mosaic rejects dynamic loads at a 128-lane column offset).
+        bara_row = bara_ref[0, sub, jnp.minimum(s_idx, n_steps - 1), :]
+        th = _rotate_decompose_thunks(
+            acc_r, cacc_r, dig_r, bara_row,
+            n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32)
+        th += _combo_thunks(dig_r, dcomb_r, combo_writes, pt)
+        return th
+
+    def acc_update(sub):
+        acc_r, _, _, cacc_r = refs[sub]
+        kt = k1 * t
+        for k in range(k1):
+            for i in range(m):
+                acc_r[:, k, i * t: (i + 1) * t] = (
+                    acc_r[:, k, i * t: (i + 1) * t]
+                    + cacc_r[:, i * kt + k * t: i * kt + (k + 1) * t]
+                )
+
+    # prologue: rotate+decompose subtile A for step 0 (nothing to overlap)
+    for th in rotate_thunks(0, 0):
+        th()
+
+    def step_body(s, _):
+        half = len(visits) // 2
+        for ph, base in ((0, 0), (1, half)):
+            # dots subtile: A in phase 0, B in phase 1
+            d_sub = ph
+            o_sub = 1 - ph
+            o_step = s if ph == 0 else s + 1
+            acc_r, dig_r, dcomb_r, cacc_r = refs[d_sub]
+            cacc_r[...] = jnp.zeros(cacc_r.shape, jnp.int32)
+            other = rotate_thunks(o_sub, o_step)
+            n_v = half
+
+            def run_other(vi, other=other, o_step=o_step, ph=ph):
+                # distribute the other subtile's thunks across visits
+                import os
+                if "rot" in os.environ.get("TFHE_TPU_PIPE_ABLATE", ""):
+                    return  # timing-only ablation: results are wrong
+                lo = (len(other) * vi) // n_v
+                hi = (len(other) * (vi + 1)) // n_v
+                for th in other[lo:hi]:
+                    if ph == 1:  # step s+1 rotate: skip past the end
+                        @pl.when(o_step < n_steps)
+                        def _(th=th):
+                            th()
+                    else:
+                        th()
+
+            for vi in range(n_v):
+                sub, lf, slot, fetch, starts = visits[base + vi]
+                assert sub == d_sub
+                for dstep, f_lf, f_slot in starts:
+                    f_step = s + dstep
+
+                    @pl.when(f_step < n_steps)
+                    def _(f_step=f_step, f_lf=f_lf, f_slot=f_slot):
+                        e_dma(f_step, f_lf, f_slot).start()
+                if fetch:
+                    e_dma(s, lf, slot).wait()
+                _one_leaf_dots(
+                    dig_r, dcomb_r, ebuf_ref, cacc_r, leaf_dots[lf], slot,
+                    k1=k1, t=t, pt=pt, m=m, dig_i32=dig_i32)
+                run_other(vi)
+            acc_update(d_sub)
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step_body, 0)
+    cp_a2 = pltpu.make_async_copy(
+        acc_a_ref, out_hbm.at[pl.ds(c * 2 * bt, bt)], sem_io)
+    cp_a2.start()
+    cp_a2.wait()
+    cp_b2 = pltpu.make_async_copy(
+        acc_b_ref, out_hbm.at[pl.ds(c * 2 * bt + bt, bt)], sem_io)
+    cp_b2.start()
+    cp_b2.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k1", "l", "b", "t", "plan", "offset", "interpret",
+                     "btk"),
+)
+def blind_rotate_pallas_pipelined(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
+                                  offset, interpret=False, btk=None):
+    """Whole blind rotation, two-subtile pipelined megakernel.
+
+    Same contract as `blind_rotate_pallas_karatsuba`; requires the batch to
+    divide into 2*BT-row cells. Bit-exact vs the serial megakernel
+    (tests/test_pallas_cmux.py runs both in interpret mode).
+    """
+    assert n & (n - 1) == 0
+    b_sz = acc.shape[0]
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    cols = k1 * 4 * t
+    n_steps = e_all.shape[0]
+
+    combo_writes, leaf_dots, comb_rows = _kernel_plan(plan, p, t)
+    max_l = max(L for _, L, _, _ in leaf_dots)
+    dig_i32 = b > 8
+    bt = _pick_tile(b_sz // 2, btk or _env_tile("TFHE_TPU_BTP", 256))
+    n_leaves = len(leaf_dots)
+    want_slots = _env_tile("TFHE_TPU_PSLOTS", 6)
+    n_slots = 1
+    for cand in range(min(want_slots, n_leaves), 0, -1):
+        if (2 * n_leaves) % cand == 0:
+            n_slots = cand
+            break
+    visits, _ = _pipelined_visits(n_leaves, n_slots)
+
+    fn = functools.partial(
+        _blind_rotate_pipelined_kernel,
+        n=n, k1=k1, l=l, b=b, t=t, offset=offset,
+        combo_writes=combo_writes, leaf_dots=leaf_dots, dig_i32=dig_i32,
+        n_steps=n_steps, n_slots=n_slots, visits=visits,
+    )
+    dig_dt = jnp.int32 if dig_i32 else jnp.int8
+    n_cells = b_sz // (2 * bt)
+    # [cells, 2, n_steps, bt]: subtile index ahead of the step index so the
+    # kernel's dynamic-step row loads start at lane offset 0 (rotate_thunks)
+    bara4 = bara_t.reshape(n_steps, n_cells, 2, bt).transpose(1, 2, 0, 3)
+    return pl.pallas_call(
+        fn,
+        out_shape=jax.ShapeDtypeStruct((b_sz, k1, n), jnp.int32),
+        grid=(n_cells,),
+        in_specs=[
+            pl.BlockSpec((1, 2, n_steps, bt), lambda c: (c, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((bt, k1, n), jnp.int32),  # acc A
+            pltpu.VMEM((bt, k1, n), jnp.int32),  # acc B
+            pltpu.VMEM((bt, m * pt), dig_dt),  # dig A
+            pltpu.VMEM((bt, m * pt), dig_dt),  # dig B
+            pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),  # dcomb A
+            pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),  # dcomb B
+            pltpu.VMEM((n_slots, max_l * pt, cols), jnp.int8),  # shared E ring
+            pltpu.VMEM((bt, m * k1 * t), jnp.int32),  # cacc A (+rot scratch)
+            pltpu.VMEM((bt, m * k1 * t), jnp.int32),  # cacc B (+rot scratch)
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        # two subtiles' scratches + the shared E ring + Mosaic stack temps
+        # run ~17 MB at bt=128 — past the 16 MB default scoped limit but
+        # comfortably inside the v5e's physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(bara4, acc, e_all)
+
+
 def _sparse_plan(plan, l: int, p: int, t: int, nz):
     """Static metadata for the sparse-block multi-key kernel.
 
@@ -705,10 +1106,12 @@ def _blind_rotate_megakernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
                 e_dma(ns, nli, slot_of(ahead)).start()
 
         bara_row = bara_ref[s, :]
-        _rotate_decompose_body(
-            acc_ref, cacc_ref, dig_ref, bara_row,
-            n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32)
-        _combo_body(dig_ref, dcomb_ref, combo_writes, pt)
+        import os
+        if "rot" not in os.environ.get("TFHE_TPU_PIPE_ABLATE", ""):
+            _rotate_decompose_body(
+                acc_ref, cacc_ref, dig_ref, bara_row,
+                n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32)
+            _combo_body(dig_ref, dcomb_ref, combo_writes, pt)
         cacc_ref[...] = jnp.zeros(cacc_ref.shape, jnp.int32)
         _leaf_dots_body(
             dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf_dots,
@@ -794,6 +1197,10 @@ def blind_rotate_pallas_karatsuba(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
             pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # scratches at bt=256 + Mosaic stack temps pass the 16 MB default
+        # scoped limit; the v5e has 128 MB of physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(bara_t, acc, e_all)
 
