@@ -1005,11 +1005,12 @@ def cmux_step_pallas_sparse(acc, e_step, bara, *, n, k1, l, b, t, plan, nz,
                 + max(comb_rows, 1) * pt + n * 4)
 
         # Largest batch tile whose scratches + double-buffered E tiles fit
-        # ~14 MB of the 16 MB VMEM: fewer grid cells = fewer re-streams of
-        # the per-step sparse E operand (8-party scratches force 64).
+        # ~64 MB of the v5e's 128 MB VMEM (the scoped limit is raised below;
+        # staying at the old 16 MB default forced 8-party tiles to 64 rows —
+        # half the MXU's 128 row lanes wasted on every dot).
         btk = 64
         for cand in (256, 128):
-            if scratch(cand) + ebuf <= 14 * 2**20:
+            if scratch(cand) + ebuf <= 64 * 2**20:
                 btk = cand
                 break
     bt = _pick_tile(b_sz, btk)
@@ -1038,6 +1039,10 @@ def cmux_step_pallas_sparse(acc, e_step, bara, *, n, k1, l, b, t, plan, nz,
             pltpu.SemaphoreType.DMA((2, max_l)),
             pltpu.SemaphoreType.DMA(()),
         ],
+        # many-party scratches exceed the 16 MB default scoped limit at
+        # full-width tiles; the v5e has 128 MB of physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
     )(bara.reshape(b_sz, 1), acc.reshape(b_sz, k1 * n), e_step)
     return out.reshape(b_sz, k1, n)
