@@ -1007,9 +1007,12 @@ def cmux_step_pallas_sparse(acc, e_step, bara, *, n, k1, l, b, t, plan, nz,
         # Largest batch tile whose scratches + double-buffered E tiles fit
         # ~64 MB of the v5e's 128 MB VMEM (the scoped limit is raised below;
         # staying at the old 16 MB default forced 8-party tiles to 64 rows —
-        # half the MXU's 128 row lanes wasted on every dot).
+        # half the MXU's 128 row lanes wasted on every dot). Big tiles also
+        # cut the per-cell re-streaming of the expanded sparse operand, the
+        # next-largest cost after the dots (2-party: 1,472 gates/s at 256
+        # rows -> 1,617 at 1024, batch 4096).
         btk = 64
-        for cand in (256, 128):
+        for cand in (1024, 512, 256, 128):
             if scratch(cand) + ebuf <= 64 * 2**20:
                 btk = cand
                 break
