@@ -66,6 +66,27 @@ def main():
     jax.block_until_ready(out)
     emit("single_nand_latency_80bit", (time.time() - t0) / reps * 1e3, "ms")
 
+    # Device-resident chained latency: N dependent NANDs inside ONE jitted
+    # program (lax.scan carrying the ciphertext), so the tunnel's ~25 ms
+    # per-dispatch floor is amortized away. This is the honest per-gate
+    # latency of the compute itself for pipelined serving, where the
+    # wall-clock single-call number above is dominated by dispatch.
+    chain_n = 2 if small else 16
+
+    @jax.jit
+    def chain(ck_, x, y):
+        def body(c, _):
+            return gates.gate_nand(ck_, c, y), None
+        return jax.lax.scan(body, x, None, length=chain_n)[0]
+
+    out = chain(ck, one_x, one_y)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    out = chain(ck, out, one_y)
+    jax.block_until_ready(out)
+    emit("chained_nand_device_latency_80bit",
+         (time.time() - t0) / chain_n * 1e3, "ms", {"chain": chain_n})
+
     xs = jnp.asarray([False, False, True, True])
     ys = jnp.asarray([False, True, False, True])
     cx = tt.encrypt(jax.random.PRNGKey(3), sk, xs)
