@@ -1,0 +1,51 @@
+"""Chunked MK megakernel == scanned per-step sparse kernel, bitwise.
+
+Runs both in interpret mode on CPU; the per-step sparse kernel is itself
+differentially tested against the prepared XLA path (tests/test_mk.py), so
+bit-exactness vs the NumPy MK oracle follows by composition.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfhe_tpu.mk.internals import mk_nonzero_blocks
+from tfhe_tpu.ops.karatsuba import expand_karatsuba_sparse, karatsuba_plan
+from tfhe_tpu.ops.pallas_cmux import (
+    cmux_step_pallas_sparse,
+    mk_blind_rotate_pallas_chunk,
+)
+from tfhe_tpu.tgsw import decomp_offset
+
+
+def rand_t32(rng, shape):
+    return rng.integers(-(2**31), 2**31, size=shape,
+                        dtype=np.int64).astype(np.int32)
+
+
+@pytest.mark.parametrize("parties,party,l,b", [(2, 0, 4, 7), (4, 3, 5, 6)])
+def test_mk_chunk_matches_per_step(rng, parties, party, l, b):
+    n, t, depth, steps, batch = 256, 32, 2, 4, 8
+    k1 = parties + 1
+    plan = karatsuba_plan(n // t, depth, b)
+    nz = mk_nonzero_blocks(party, parties)
+    offset = decomp_offset(l, b)
+
+    limbs = rng.integers(-128, 128,
+                         size=(steps, 4, k1 * l, k1, 2 * n)).astype(np.int8)
+    acc0 = rand_t32(rng, (batch, k1, n))
+    bara = rng.integers(0, 2 * n, size=(steps, batch)).astype(np.int32)
+    bara[0, 0] = 0  # no-op lane
+
+    kw = dict(n=n, k1=k1, l=l, b=b, t=t, plan=plan, nz=nz, offset=offset,
+              interpret=True)
+    want = acc0
+    e_steps = []
+    for s in range(steps):
+        e_i = expand_karatsuba_sparse(jnp.asarray(limbs[s]), t, plan, nz, l)
+        e_steps.append(e_i)
+        want = cmux_step_pallas_sparse(want, e_i, bara[s], **kw)
+
+    got = mk_blind_rotate_pallas_chunk(
+        acc0, jnp.stack(e_steps), jnp.asarray(bara), **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

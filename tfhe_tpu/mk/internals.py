@@ -37,6 +37,12 @@ from ..tgsw import decompose, gadget_values
 from ..tlwe import TLweSample
 
 
+def _env_int(name: str, default: int) -> int:
+    import os
+
+    return int(os.environ.get(name, default))
+
+
 # --- MK-LWE (reference: src/mk_internals.jl:6-40) ---
 
 
@@ -546,7 +552,10 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
         # prepared fallbacks below remain for CPU tests and odd geometries.
         from ..bootstrap import _default_depth
         from ..ops.karatsuba import expand_karatsuba_sparse, karatsuba_plan
-        from ..ops.pallas_cmux import cmux_step_pallas_sparse
+        from ..ops.pallas_cmux import (
+            cmux_step_pallas_sparse,
+            mk_blind_rotate_pallas_chunk,
+        )
         from ..tgsw import decomp_offset
 
         n = bk.polynomial_degree
@@ -571,6 +580,40 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
                 return out, None
             return step
 
+        def make_chunk_step(nz):
+            # S steps per scan iteration: expand the whole chunk (one
+            # batched XLA expansion), then ONE megakernel launch with the
+            # accumulator resident in VMEM across the S steps — removes the
+            # per-step acc HBM round-trip and 1/S of the scan-carry copies
+            # (profiled at ~12% of the 2-party gate).
+            expand_s = jax.vmap(
+                lambda li: expand_karatsuba_sparse(
+                    li, t, plan, nz, l, preselected=bk.sparse))
+
+            def step(acc_a, xs):
+                limbs_c, bara_c = xs
+                out = mk_blind_rotate_pallas_chunk(
+                    acc_a, expand_s(limbs_c), bara_c, n=n, k1=k1, l=l, b=b,
+                    t=t, plan=plan, nz=nz, offset=offset,
+                    interpret=interpret,
+                )
+                return out, None
+            return step
+
+        def chunk_len(nz):
+            # largest divisor of n_lwe <= 20 whose expanded chunk stays
+            # under ~1 GB of HBM (8-party steps are 236 MB each)
+            rows = plan.total_rows * len(nz) * l * t
+            e_step = rows * 4 * t
+            cap = _env_int("TFHE_TPU_MK_CHUNK", 0)
+            if cap:
+                return cap if n_lwe % cap == 0 else 1
+            best = 1
+            for d in range(2, 21):
+                if n_lwe % d == 0 and d * e_step <= 2**30:
+                    best = d
+            return best
+
         from ..noise import mk_blind_rotate_var
 
         cv_out = accum.cv + mk_blind_rotate_var(
@@ -583,6 +626,7 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
             static_argnums=3,
         )
         acc_a = accum.a
+        use_mega = _env_int("TFHE_TPU_MK_MEGA", 1)
         for party in range(bk.parties):
             nz = mk_nonzero_blocks(party, bk.parties)
             step = make_step(nz)
@@ -590,7 +634,15 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
             # sparse keys are per-party tuples (no jit-time slice copies)
             limbs_p = (bk.limbs[party] if bk.sparse
                        else bk.limbs[p0: p0 + n_lwe])
-            if segments <= 1:
+            if segments <= 1 and use_mega and (s_chunk := chunk_len(nz)) > 1:
+                n_chunks = n_lwe // s_chunk
+                limbs_c = limbs_p.reshape(
+                    (n_chunks, s_chunk) + limbs_p.shape[1:])
+                bara_c = bara_t[p0: p0 + n_lwe].reshape(
+                    n_chunks, s_chunk, -1)
+                acc_a, _ = jax.lax.scan(
+                    make_chunk_step(nz), acc_a, (limbs_c, bara_c))
+            elif segments <= 1:
                 acc_a, _ = jax.lax.scan(
                     step, acc_a, (limbs_p, bara_t[p0: p0 + n_lwe]))
             else:

@@ -970,6 +970,181 @@ def _sparse_mk_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref, dig_ref,
     cp_out.wait()
 
 
+def _sparse_mk_megakernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref, dig_ref,
+                          dcomb_ref, ebuf_ref, rot_ref, sem, sem_io, *, n, k1,
+                          l, b, t, offset, combo_writes, units, dig_i32,
+                          n_steps, e_step_rows):
+    """A CHUNK of multi-key CMUX steps in one launch: fori_loop over the
+    chunk's steps with the accumulator resident in VMEM (the per-step kernel
+    pays a [B, k1*N] HBM round-trip per step), sparse-unit E streaming with
+    cross-step lookahead. Bit-exact vs scanning cmux_step_pallas_sparse.
+
+    e_hbm: [n_steps * e_step_rows, 4T] (chunk-stacked expand_karatsuba_sparse
+    rows); bara_ref block: [1, n_steps, BT].
+    """
+    lt = l * t
+    bt = acc_ref.shape[0]
+    c = pl.program_id(0)
+    n_units = len(units)
+
+    cp_in = pltpu.make_async_copy(
+        acc_hbm.at[pl.ds(c * bt, bt)], acc_ref, sem_io)
+    cp_in.start()
+
+    def unit_dmas(step, ui, slot):
+        e_tiles = units[ui][0]
+        return [
+            pltpu.make_async_copy(
+                e_hbm.at[pl.ds(step * e_step_rows + r0, lt)],
+                ebuf_ref.at[slot, pl.ds(a * lt, lt)],
+                sem.at[slot, a],
+            )
+            for a, r0 in enumerate(e_tiles)
+        ]
+
+    cp_in.wait()
+
+    def step_body(s, _):
+        # unit 0's fetch hides behind the step's rotate/decompose VPU work
+        # (cross-step prefetch would need step-parity slot juggling: the
+        # unit count is odd, so the in-step slot = ui % 2 ring restarts)
+        for cp in unit_dmas(s, 0, 0):
+            cp.start()
+        _rotate_decompose_body(
+            acc_ref, rot_ref, dig_ref, bara_ref[0, s, :],
+            n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32,
+            acc_flat=True)
+        _combo_body(dig_ref, dcomb_ref, combo_writes, k1 * lt)
+
+        for ui, (e_tiles, k_col, outs) in enumerate(units):
+            slot = ui % 2
+            if ui + 1 < n_units:
+                for cp in unit_dmas(s, ui + 1, (ui + 1) % 2):
+                    cp.start()
+            for cp in unit_dmas(s, ui, slot):
+                cp.wait()
+            for ops, placed in outs:
+                pacc = None
+                for a, descs in ops:
+                    rhs = ebuf_ref[slot, pl.ds(a * lt, lt), :]
+                    rec = None
+                    for buf, lrow0, d_shift in descs:
+                        if buf == 2:
+                            lhs = dig_ref[:, lrow0[0]: lrow0[0] + lt].astype(
+                                jnp.int32)
+                            for rr in lrow0[1:]:
+                                lhs = lhs + dig_ref[:, rr: rr + lt].astype(
+                                    jnp.int32)
+                            lhs = lhs.astype(jnp.int8)
+                        else:
+                            src = dcomb_ref if buf else dig_ref
+                            lhs = src[:, lrow0: lrow0 + lt]
+                            if dig_i32 and buf == 0:
+                                lhs = lhs.astype(jnp.int8)
+                        prod = lax.dot_general(
+                            lhs, rhs, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        if d_shift:
+                            prod = prod << d_shift
+                        rec = prod if rec is None else rec + prod
+                    pacc = rec if pacc is None else pacc + rec
+                word = pacc[:, 0:t]
+                for limb in range(1, 4):
+                    word = word + (
+                        pacc[:, limb * t: (limb + 1) * t] << (8 * limb))
+                for posm, sgn in placed:
+                    dst = pl.ds(k_col * n + posm * t, t)
+                    if sgn == 1:
+                        acc_ref[:, dst] = acc_ref[:, dst] + word
+                    else:
+                        acc_ref[:, dst] = acc_ref[:, dst] - word
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step_body, 0)
+    cp_out = pltpu.make_async_copy(
+        acc_ref, out_hbm.at[pl.ds(c * bt, bt)], sem_io)
+    cp_out.start()
+    cp_out.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k1", "l", "b", "t", "plan", "nz", "offset",
+                     "interpret", "btk"),
+)
+def mk_blind_rotate_pallas_chunk(acc, e_chunk, bara_t, *, n, k1, l, b, t,
+                                 plan, nz, offset, interpret=False, btk=None):
+    """A chunk of S multi-key CMUX steps as ONE fused launch.
+
+    acc: int32[B, k1, N]; e_chunk: int8[S, rows, 4T] (vmapped
+    expand_karatsuba_sparse); bara_t: int32[S, B]. Bit-exact vs scanning
+    cmux_step_pallas_sparse over the S steps (tests/test_mk_megakernel.py).
+    """
+    assert n & (n - 1) == 0
+    b_sz = acc.shape[0]
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    lt = l * t
+    s_steps, e_step_rows, _ = e_chunk.shape
+
+    combo_writes, units, comb_rows = _sparse_plan(plan, l, p, t, nz)
+    dig_i32 = b > 8
+    max_l = max(len(u[0]) for u in units)
+
+    if btk is None:
+        btk = _env_tile("TFHE_TPU_BTMK", 0)
+    if not btk:
+        ebuf = 2 * max_l * lt * 4 * t
+
+        def scratch(bt_):
+            return bt_ * (
+                k1 * n * 4 + m * pt * (4 if dig_i32 else 1)
+                + max(comb_rows, 1) * pt + n * 4)
+
+        btk = 64
+        for cand in (1024, 512, 256, 128):
+            if scratch(cand) + ebuf <= 64 * 2**20:
+                btk = cand
+                break
+    bt = _pick_tile(b_sz, btk)
+    n_cells = b_sz // bt
+
+    fn = functools.partial(
+        _sparse_mk_megakernel,
+        n=n, k1=k1, l=l, b=b, t=t, offset=offset,
+        combo_writes=combo_writes, units=units, dig_i32=dig_i32,
+        n_steps=s_steps, e_step_rows=e_step_rows,
+    )
+    bara3 = bara_t.reshape(s_steps, n_cells, bt).transpose(1, 0, 2)
+    out = pl.pallas_call(
+        fn,
+        out_shape=jax.ShapeDtypeStruct((b_sz, k1 * n), jnp.int32),
+        grid=(n_cells,),
+        in_specs=[
+            pl.BlockSpec((1, s_steps, bt), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((bt, k1 * n), jnp.int32),
+            pltpu.VMEM((bt, m * pt), jnp.int32 if dig_i32 else jnp.int8),
+            pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),
+            pltpu.VMEM((2, max_l * lt, 4 * t), jnp.int8),
+            pltpu.VMEM((bt, n), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, max_l)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(bara3, acc.reshape(b_sz, k1 * n),
+      e_chunk.reshape(s_steps * e_step_rows, 4 * t))
+    return out.reshape(b_sz, k1, n)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n", "k1", "l", "b", "t", "plan", "nz", "offset",

@@ -19,7 +19,7 @@ import numpy as np
 
 import tfhe_tpu as tt
 import tfhe_tpu.mk as mk
-from tfhe_tpu.utils.sync import prime_sync
+from tfhe_tpu.utils.sync import device_barrier, prime_sync
 
 
 def main():
@@ -74,11 +74,13 @@ def main():
                 mck.bootstrap_key, mck.keyswitch_keys, mu, lin, segments)
 
     t0 = time.time()
-    out = jax.block_until_ready(nand(x, y))
+    out = nand(x, y)
+    device_barrier(out)
     print(f"first call (compile+run): {time.time()-t0:.1f}s", flush=True)
     t0 = time.time()
     for _ in range(iters):
-        out = jax.block_until_ready(nand(out, y))  # chain to defeat caching
+        out = nand(out, y)  # chain to defeat caching
+        device_barrier(out)
     dt = (time.time() - t0) / iters
     rate = batch / dt
     want = ~(np.asarray(xs) & np.asarray(ys))
