@@ -11,16 +11,22 @@ import os
 # per-dispatch network latency) and a sitecustomize that imports jax at
 # interpreter startup — so the env var alone is too late; the config must be
 # updated explicitly before any backend is initialized.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# TFHE_TPU_TEST_BACKEND=tpu keeps the real backend for the on-chip test tier
+# (`pytest -m tpu`), which compiles the Mosaic kernels for real instead of
+# running them in interpret mode.
+_ON_CHIP = os.environ.get("TFHE_TPU_TEST_BACKEND") == "tpu"
+if not _ON_CHIP:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
