@@ -26,6 +26,18 @@ def rand_t32(rng, shape):
 @pytest.mark.parametrize("parties,party,l,b", [(2, 0, 4, 7), (4, 3, 5, 6)])
 def test_mk_chunk_matches_per_step(rng, parties, party, l, b):
     n, t, depth, steps, batch = 256, 32, 2, 4, 8
+    _chunk_vs_per_step(rng, parties, party, l, b, n, t, depth, steps, batch)
+
+
+@pytest.mark.slow
+def test_mk_chunk_matches_per_step_8party(rng):
+    # the 8-party sparsity pattern (25/81 nonzero blocks) has a different
+    # unit structure than 2/4 parties; production l=8, b=4
+    _chunk_vs_per_step(rng, 8, 5, 8, 4, n=256, t=32, depth=2, steps=2,
+                       batch=8)
+
+
+def _chunk_vs_per_step(rng, parties, party, l, b, n, t, depth, steps, batch):
     k1 = parties + 1
     plan = karatsuba_plan(n // t, depth, b)
     nz = mk_nonzero_blocks(party, parties)
