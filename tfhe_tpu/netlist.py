@@ -338,15 +338,14 @@ class Schedule:
             return w
         return self.wire_slot[w]
 
-    def run(self, ck: CloudKey, inputs: dict[int, LweSample],
-            batch_shape=()) -> LweSample:
-        """Execute over encrypted inputs: {wire: LweSample[batch_shape]}.
+    def init_state(self, ck: CloudKey, inputs: dict[int, LweSample],
+                   batch_shape=()) -> LweSample:
+        """Build the initial wire state from encrypted inputs.
 
-        Returns the full wire state as ONE stacked LweSample of shape
-        [*batch_shape, n_wires, ...] — extract individual wires with
-        `Schedule.wire(state, w)`. Each scheduled batch issues ONE batched
-        gate call over (batch_shape x gates_in_batch).
-        """
+        The state is ONE stacked LweSample [*batch_shape, rows, ...] (rows =
+        slot count in streamed mode, wire count otherwise) — the only mutable
+        object of a job, which makes it the exact checkpoint/resume unit
+        (utils/jobs.py)."""
         circ = self.circuit
         n = ck.params.lwe_size
         rows = self.n_slots if self.wire_slot is not None else circ.n_wires
@@ -359,14 +358,42 @@ class Schedule:
             a = a.at[..., s, :].set(ct.a)
             b = b.at[..., s].set(ct.b)
             cv = cv.at[..., s].set(ct.cv)
+        return LweSample(a, b, cv)
 
+    def _mapped_netlist(self):
+        """fanin/out-wire arrays remapped into state rows."""
+        circ = self.circuit
         fanin = np.asarray(circ.fanin, np.int32)
         outw = np.asarray(circ.out_wire, np.int32)
         if self.wire_slot is not None:
             fanin = np.where(fanin >= 0, self.wire_slot[fanin], -1)
             outw = self.wire_slot[outw]
+        return fanin, outw
 
-        for bi in range(self.n_batches):
+    def run(self, ck: CloudKey, inputs: dict[int, LweSample],
+            batch_shape=()) -> LweSample:
+        """Execute over encrypted inputs: {wire: LweSample[batch_shape]}.
+
+        Returns the full wire state as ONE stacked LweSample of shape
+        [*batch_shape, n_wires, ...] — extract individual wires with
+        `Schedule.wire(state, w)`. Each scheduled batch issues ONE batched
+        gate call over (batch_shape x gates_in_batch).
+        """
+        state = self.init_state(ck, inputs, batch_shape)
+        return self.run_batches(ck, state, 0, self.n_batches)
+
+    def run_batches(self, ck: CloudKey, state: LweSample, lo_batch: int,
+                    hi_batch: int) -> LweSample:
+        """Execute scheduled batches [lo_batch, hi_batch) on a wire state.
+
+        Exact resume point for restartable jobs: running [0, k) then [k, nb)
+        on the saved state is bitwise identical to one [0, nb) run (gate
+        evaluation is deterministic given the cloud key)."""
+        circ = self.circuit
+        a, b, cv = state.a, state.b, state.cv
+        fanin, outw = self._mapped_netlist()
+
+        for bi in range(lo_batch, hi_batch):
             lo, hi = int(self.batch_start[bi]), int(self.batch_start[bi + 1])
             gsel = self.gate_order[lo:hi]
             ty = GATE_TYPES[int(self.batch_type[bi])]
@@ -381,7 +408,7 @@ class Schedule:
                 vals = np.asarray(
                     [circ.const_value[int(g)] for g in gsel], bool)
                 res = gate_lib.gate_constant(
-                    ck, jnp.asarray(vals), batch_shape + (len(gsel),))
+                    ck, jnp.asarray(vals), b.shape[:-1] + (len(gsel),))
             elif ty == "not":
                 res = gate_lib.gate_not(ck, pick(0))
             elif ty == "mux":

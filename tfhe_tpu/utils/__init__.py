@@ -1,6 +1,7 @@
-"""Auxiliary subsystems: serialization, telemetry."""
+"""Auxiliary subsystems: serialization, telemetry, restartable jobs."""
 
+from . import jobs
 from . import serialization
 from . import telemetry
 
-__all__ = ["serialization", "telemetry"]
+__all__ = ["jobs", "serialization", "telemetry"]
