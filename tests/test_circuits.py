@@ -43,3 +43,37 @@ def test_encrypted_minimum(toy_keys):
     out = circuits.encrypted_minimum(ck, a, b)
     got = np.asarray(circuits.decrypt_word(sk, out))
     np.testing.assert_array_equal(got, [42, 42])
+
+
+def test_ripple_carry_sub(toy_keys):
+    sk, ck = toy_keys
+    a_vals = np.asarray([5, 120, 0, 178], np.uint32)
+    b_vals = np.asarray([3, 200, 1, 178], np.uint32)
+    a = circuits.encrypt_word(jax.random.PRNGKey(5), sk, a_vals, 8)
+    b = circuits.encrypt_word(jax.random.PRNGKey(6), sk, b_vals, 8)
+    out = circuits.ripple_carry_sub(ck, a, b)
+    got = np.asarray(circuits.decrypt_word(sk, out))
+    np.testing.assert_array_equal(got, (a_vals - b_vals) % 256)
+
+
+def test_multiply(toy_keys):
+    sk, ck = toy_keys
+    a_vals = np.asarray([3, 7, 15, 0], np.uint32)
+    b_vals = np.asarray([5, 11, 15, 9], np.uint32)
+    a = circuits.encrypt_word(jax.random.PRNGKey(7), sk, a_vals, 4)
+    b = circuits.encrypt_word(jax.random.PRNGKey(8), sk, b_vals, 4)
+    out = circuits.multiply(ck, a, b)
+    got = np.asarray(circuits.decrypt_word(sk, out))
+    np.testing.assert_array_equal(got, (a_vals * b_vals) % 16)
+
+
+def test_encrypted_equal(toy_keys):
+    sk, ck = toy_keys
+    a_vals = np.asarray([9, 200, 0, 31], np.uint32)
+    b_vals = np.asarray([9, 201, 0, 15], np.uint32)
+    # 5 bits: odd width exercises the AND-tree's leftover-bit path
+    a = circuits.encrypt_word(jax.random.PRNGKey(9), sk, a_vals % 32, 5)
+    b = circuits.encrypt_word(jax.random.PRNGKey(10), sk, b_vals % 32, 5)
+    out = circuits.encrypted_equal(ck, a, b)
+    got = np.asarray(tt.decrypt(sk, out))
+    np.testing.assert_array_equal(got, (a_vals % 32) == (b_vals % 32))

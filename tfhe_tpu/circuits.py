@@ -14,7 +14,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .api import CloudKey, SecretKey, decrypt, encrypt
-from .gates import gate_constant, gate_mux, gate_xnor, gate_xor
+from .gates import (
+    gate_and,
+    gate_constant,
+    gate_mux,
+    gate_not,
+    gate_xnor,
+    gate_xor,
+)
 from .lwe import LweSample
 
 
@@ -92,3 +99,93 @@ def ripple_carry_add(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
         if i + 1 < bits:
             carry = gate_mux(ck, axb, carry, ai)
     return _stack_bits(out)
+
+
+def ripple_carry_sub(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """a - b (mod 2^bits) on word ciphertexts [..., bits].
+
+    Two's complement: a + ~b + 1 — the NOT is a free (non-bootstrapped)
+    negation (reference: src/gates.jl:76-79) and the +1 is the initial
+    carry, so the cost equals one addition.
+    """
+    bits = a.b.shape[-1]
+    carry = gate_constant(ck, True, a.b.shape[:-1])
+    out = []
+    for i in range(bits):
+        ai, bi = _bit(a, i), gate_not(ck, _bit(b, i))
+        axb = gate_xor(ck, ai, bi)
+        out.append(gate_xor(ck, axb, carry))
+        if i + 1 < bits:
+            carry = gate_mux(ck, axb, carry, ai)
+    return _stack_bits(out)
+
+
+def _select_bits(word: LweSample, lo: int, hi: int) -> LweSample:
+    return LweSample(word.a[..., lo:hi, :], word.b[..., lo:hi],
+                     word.cv[..., lo:hi])
+
+
+def _broadcast_bit(bit: LweSample, width: int) -> LweSample:
+    """One bit broadcast across a width-sized bit axis (zero-copy views)."""
+    return LweSample(
+        jnp.broadcast_to(bit.a[..., None, :],
+                         bit.a.shape[:-1] + (width, bit.a.shape[-1])),
+        jnp.broadcast_to(bit.b[..., None], bit.b.shape + (width,)),
+        jnp.broadcast_to(bit.cv[..., None], bit.cv.shape + (width,)),
+    )
+
+
+def multiply(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """a * b (mod 2^bits) on word ciphertexts [..., bits].
+
+    Shift-and-add: partial product j is ONE batched AND of a's low
+    (bits - j) bits against b_j, then a truncated ripple add into the
+    accumulator at offset j. No reference analogue (the reference's only
+    circuit is the tutorial minimum); gate count is bits^2 ANDs plus
+    ~bits^2 adder gates.
+    """
+    bits = a.b.shape[-1]
+    acc = [
+        _bit(gate_and(ck, a, _broadcast_bit(_bit(b, 0), bits)), i)
+        for i in range(bits)
+    ]
+    for j in range(1, bits):
+        width = bits - j
+        pp = gate_and(ck, _select_bits(a, 0, width),
+                      _broadcast_bit(_bit(b, j), width))
+        carry = None
+        for i in range(width):
+            s, p = acc[j + i], _bit(pp, i)
+            x = gate_xor(ck, s, p)
+            if carry is None:
+                acc[j + i] = x
+                if i + 1 < width:
+                    carry = gate_and(ck, s, p)
+            else:
+                acc[j + i] = gate_xor(ck, x, carry)
+                if i + 1 < width:
+                    carry = gate_mux(ck, x, carry, s)
+    return _stack_bits(acc)
+
+
+def encrypted_equal(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """a == b on word ciphertexts [..., bits] -> single-bit ciphertext.
+
+    One batched XNOR over the whole word, then a log-depth AND tree whose
+    levels are each ONE batched gate call over the surviving pairs.
+    """
+    cur = gate_xnor(ck, a, b)
+    m = cur.b.shape[-1]
+    while m > 1:
+        half = m // 2
+        merged = gate_and(ck, _select_bits(cur, 0, half),
+                          _select_bits(cur, half, 2 * half))
+        if m % 2:
+            merged = LweSample(
+                jnp.concatenate([merged.a, cur.a[..., -1:, :]], axis=-2),
+                jnp.concatenate([merged.b, cur.b[..., -1:]], axis=-1),
+                jnp.concatenate([merged.cv, cur.cv[..., -1:]], axis=-1),
+            )
+        cur = merged
+        m = cur.b.shape[-1]
+    return _bit(cur, 0)
