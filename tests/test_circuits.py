@@ -77,3 +77,16 @@ def test_encrypted_equal(toy_keys):
     out = circuits.encrypted_equal(ck, a, b)
     got = np.asarray(tt.decrypt(sk, out))
     np.testing.assert_array_equal(got, (a_vals % 32) == (b_vals % 32))
+
+
+def test_divide(toy_keys):
+    sk, ck = toy_keys
+    n_vals = np.asarray([13, 7, 15, 4], np.uint32)
+    d_vals = np.asarray([3, 7, 4, 5], np.uint32)
+    n = circuits.encrypt_word(jax.random.PRNGKey(11), sk, n_vals, 4)
+    d = circuits.encrypt_word(jax.random.PRNGKey(12), sk, d_vals, 4)
+    q, r = circuits.divide(ck, n, d)
+    np.testing.assert_array_equal(
+        np.asarray(circuits.decrypt_word(sk, q)), n_vals // d_vals)
+    np.testing.assert_array_equal(
+        np.asarray(circuits.decrypt_word(sk, r)), n_vals % d_vals)

@@ -120,6 +120,37 @@ def ripple_carry_sub(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
     return _stack_bits(out)
 
 
+def _sub_with_borrow(ck: CloudKey, a: LweSample, b: LweSample):
+    """(a - b mod 2^bits, no_borrow) — no_borrow decrypts to a >= b."""
+    bits = a.b.shape[-1]
+    carry = gate_constant(ck, True, a.b.shape[:-1])
+    out = []
+    for i in range(bits):
+        ai, bi = _bit(a, i), gate_not(ck, _bit(b, i))
+        axb = gate_xor(ck, ai, bi)
+        out.append(gate_xor(ck, axb, carry))
+        carry = gate_mux(ck, axb, carry, ai)
+    return _stack_bits(out), carry
+
+
+def divide(ck: CloudKey, n: LweSample, d: LweSample):
+    """(n // d, n % d) on word ciphertexts [..., bits], unsigned restoring
+    division. Undefined for d == 0 (as in plaintext). Each of the `bits`
+    rounds is one borrow-out subtraction plus ONE batched MUX restore."""
+    bits = n.b.shape[-1]
+    zero = gate_constant(ck, False, n.b.shape[:-1])
+    r = [zero] * bits
+    q = [zero] * bits
+    for i in reversed(range(bits)):
+        r = [_bit(n, i)] + r[:-1]  # R = (R << 1) | n_i  (LSB-first)
+        diff, ge = _sub_with_borrow(ck, _stack_bits(r), d)
+        q[i] = ge
+        restored = gate_mux(ck, _broadcast_bit(ge, bits), diff,
+                            _stack_bits(r))
+        r = [_bit(restored, j) for j in range(bits)]
+    return _stack_bits(q), _stack_bits(r)
+
+
 def _select_bits(word: LweSample, lo: int, hi: int) -> LweSample:
     return LweSample(word.a[..., lo:hi, :], word.b[..., lo:hi],
                      word.cv[..., lo:hi])
