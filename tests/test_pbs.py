@@ -1,0 +1,55 @@
+"""Programmable bootstrapping: LUT evaluation round trips on toy params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tfhe_tpu as tt
+from tfhe_tpu import pbs
+
+
+@pytest.fixture(scope="module")
+def toy_keys():
+    return tt.make_key_pair(jax.random.PRNGKey(77), tt.tfhe_parameters_toy())
+
+
+def test_pbs_encoding_roundtrip(toy_keys):
+    sk, _ = toy_keys
+    msgs = jnp.arange(8, dtype=jnp.int32)
+    ct = pbs.encrypt_pbs(jax.random.PRNGKey(0), sk, msgs, 8)
+    np.testing.assert_array_equal(
+        np.asarray(pbs.decrypt_pbs(sk, ct, 8)), np.arange(8))
+
+
+def test_pbs_lut_and_chain(toy_keys):
+    sk, ck = toy_keys
+    S = 4
+    rng = np.random.default_rng(3)
+    msgs = rng.integers(0, S, 16).astype(np.int32)
+    lut_f = rng.integers(0, S, S).astype(np.int32)
+    lut_g = rng.integers(0, S, S).astype(np.int32)
+    x = pbs.encrypt_pbs(jax.random.PRNGKey(1), sk, jnp.asarray(msgs), S)
+    y = pbs.programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, jnp.asarray(lut_f), x, S)
+    np.testing.assert_array_equal(
+        np.asarray(pbs.decrypt_pbs(sk, y, S)), lut_f[msgs])
+    # outputs carry the same encoding: bootstraps compose, g(f(m))
+    z = pbs.programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, jnp.asarray(lut_g), y, S)
+    np.testing.assert_array_equal(
+        np.asarray(pbs.decrypt_pbs(sk, z, S)), lut_g[lut_f[msgs]])
+
+
+def test_pbs_per_sample_tables(toy_keys):
+    sk, ck = toy_keys
+    S = 4
+    rng = np.random.default_rng(5)
+    msgs = rng.integers(0, S, 12).astype(np.int32)
+    luts = rng.integers(0, S, (12, S)).astype(np.int32)
+    x = pbs.encrypt_pbs(jax.random.PRNGKey(2), sk, jnp.asarray(msgs), S)
+    y = pbs.programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, jnp.asarray(luts), x, S)
+    np.testing.assert_array_equal(
+        np.asarray(pbs.decrypt_pbs(sk, y, S)),
+        luts[np.arange(12), msgs])

@@ -71,6 +71,7 @@ from .gates import (
 )
 from . import polynomial
 from . import circuits
+from . import pbs
 from . import mk
 from .ops import conv
 
