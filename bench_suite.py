@@ -126,6 +126,27 @@ def main():
     emit("batched_nand_throughput_128bit", B * iters / (time.time() - t0),
          "gates/s", {"batch": B})
 
+    # --- 3b: programmable bootstrapping (4-entry LUT) throughput ---
+    from tfhe_tpu import pbs as pbs_mod
+
+    S = 4
+    msgs = jnp.arange(B) % S
+    lut = jnp.asarray([2, 0, 3, 1], jnp.int32)
+    px = pbs_mod.encrypt_pbs(jax.random.PRNGKey(12), sk2, msgs, S)
+    pb = jax.jit(pbs_mod.programmable_bootstrap, static_argnums=4)
+    out_p = pb(ck2.bootstrap_key, ck2.keyswitch_key, lut, px, S)
+    jax.block_until_ready(out_p)
+    t0 = time.time()
+    out_p = pb(ck2.bootstrap_key, ck2.keyswitch_key, lut, out_p, S)
+    jax.block_until_ready(out_p)
+    dt = time.time() - t0
+    lut_np = np.asarray(lut)
+    got = np.asarray(pbs_mod.decrypt_pbs(sk2, out_p, S))
+    want = lut_np[lut_np[np.asarray(msgs)]]  # chained: f(f(m))
+    emit("pbs_lut4_throughput_128bit", B / dt, "luts/s",
+         {"batch": B, "correct": int((got == want).sum()), "of": B})
+    del px, out_p
+
     # --- 4: 8-bit ripple-carry adder ---
     W = 8 if small else 512
     av = jnp.arange(W, dtype=jnp.uint32) % 251
