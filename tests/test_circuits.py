@@ -90,3 +90,16 @@ def test_divide(toy_keys):
         np.asarray(circuits.decrypt_word(sk, q)), n_vals // d_vals)
     np.testing.assert_array_equal(
         np.asarray(circuits.decrypt_word(sk, r)), n_vals % d_vals)
+
+
+def test_greater_than_and_maximum(toy_keys):
+    sk, ck = toy_keys
+    a_vals = np.asarray([3, 9, 9, 15], np.uint32)
+    b_vals = np.asarray([9, 3, 9, 0], np.uint32)
+    a = circuits.encrypt_word(jax.random.PRNGKey(13), sk, a_vals, 4)
+    b = circuits.encrypt_word(jax.random.PRNGKey(14), sk, b_vals, 4)
+    gt = np.asarray(tt.decrypt(sk, circuits.encrypted_greater_than(ck, a, b)))
+    np.testing.assert_array_equal(gt, a_vals > b_vals)
+    mx = np.asarray(circuits.decrypt_word(
+        sk, circuits.encrypted_maximum(ck, a, b)))
+    np.testing.assert_array_equal(mx, np.maximum(a_vals, b_vals))

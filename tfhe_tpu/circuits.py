@@ -71,15 +71,37 @@ def compare_bit(ck: CloudKey, a: LweSample, b: LweSample,
     return gate_mux(ck, tmp, lsb_carry, a)
 
 
-def encrypted_minimum(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
-    """min(a, b) on word ciphertexts [..., bits]. Reference: examples/tutorial.jl:50-62."""
+def encrypted_greater_than(ck: CloudKey, a: LweSample,
+                           b: LweSample) -> LweSample:
+    """a > b on word ciphertexts [..., bits] -> single-bit ciphertext.
+
+    The tutorial comparator chain (reference: examples/tutorial.jl:44-47):
+    the running carry is the comparison of the bits seen so far, with the
+    most significant differing bit deciding.
+    """
     bits = a.b.shape[-1]
     carry = gate_constant(ck, False, a.b.shape[:-1])
     for i in range(bits):
         carry = compare_bit(ck, _bit(a, i), _bit(b, i), carry)
-    # carry == 1 iff b is larger -> select per bit
+    return carry
+
+
+def encrypted_minimum(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """min(a, b) on word ciphertexts [..., bits]. Reference: examples/tutorial.jl:50-62."""
+    bits = a.b.shape[-1]
+    carry = encrypted_greater_than(ck, a, b)
+    # carry == 1 iff a is larger -> select the other word per bit
     return _stack_bits(
         [gate_mux(ck, carry, _bit(b, i), _bit(a, i)) for i in range(bits)]
+    )
+
+
+def encrypted_maximum(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """max(a, b) on word ciphertexts [..., bits]."""
+    bits = a.b.shape[-1]
+    carry = encrypted_greater_than(ck, a, b)
+    return _stack_bits(
+        [gate_mux(ck, carry, _bit(a, i), _bit(b, i)) for i in range(bits)]
     )
 
 
