@@ -53,3 +53,29 @@ def test_pbs_per_sample_tables(toy_keys):
     np.testing.assert_array_equal(
         np.asarray(pbs.decrypt_pbs(sk, y, S)),
         luts[np.arange(12), msgs])
+
+
+def test_mk_pbs_lut():
+    import tfhe_tpu.mk as mk
+
+    params = mk.mktfhe_parameters_toy(2)
+    shared = mk.make_shared_key(jax.random.PRNGKey(100), params)
+    sks, parts = [], []
+    for p in range(2):
+        sk = tt.make_secret_key(jax.random.PRNGKey(200 + p), params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(
+            jax.random.PRNGKey(300 + p), sk, shared))
+    mck = mk.make_mk_cloud_key(parts)
+
+    S = 4
+    rng = np.random.default_rng(9)
+    msgs = rng.integers(0, S, 8).astype(np.int32)
+    lut = rng.integers(0, S, S).astype(np.int32)
+    x = pbs.mk_encrypt_pbs(jax.random.PRNGKey(4), sks, jnp.asarray(msgs), S)
+    np.testing.assert_array_equal(
+        np.asarray(pbs.mk_decrypt_pbs(sks, x, S)), msgs)
+    y = pbs.mk_programmable_bootstrap(
+        mck.bootstrap_key, mck.keyswitch_keys, jnp.asarray(lut), x, S)
+    np.testing.assert_array_equal(
+        np.asarray(pbs.mk_decrypt_pbs(sks, y, S)), lut[msgs])

@@ -100,3 +100,54 @@ def programmable_bootstrap(bk: BootstrapKey, ks: KeyswitchKey, table,
         u.b.reshape(batch_shape),
         u.cv.reshape(batch_shape),
     )
+
+
+# --- Multi-key PBS: the MK bootstrap generalizes identically ---
+
+
+def mk_encrypt_pbs(rng, secret_keys, message, space: int):
+    """Joint MK encryption of integer message(s) in [0, S) (PBS encoding)."""
+    from .mk.internals import MKLweSample
+    from .numeric import dtot32, rand_uniform_torus32
+
+    params = secret_keys[0].params
+    parties, n = len(secret_keys), params.lwe_size
+    mu = encode_pbs(message, space)
+    rng_a, rng_e = jax.random.split(rng)
+    a = rand_uniform_torus32(rng_a, mu.shape + (parties, n))
+    keys = jnp.stack([sk.key for sk in secret_keys])
+    b = mu + dtot32(
+        jax.random.normal(rng_e, mu.shape, jnp.float32)
+        * jnp.float32(params.lwe_noise_stddev))
+    b = b + jnp.sum(a * keys, axis=(-1, -2), dtype=jnp.int32)
+    return MKLweSample(
+        a, b, jnp.full(b.shape, params.lwe_noise_stddev**2, jnp.float32))
+
+
+def mk_decrypt_pbs(secret_keys, sample, space: int):
+    """Joint MK decryption to integer message(s) in [0, 2S)."""
+    from .mk.internals import mk_lwe_phase
+
+    keys = jnp.stack([sk.key for sk in secret_keys])
+    return decode_pbs(mk_lwe_phase(sample, keys), space)
+
+
+def mk_programmable_bootstrap(bk, ks_keys, table, x, space: int,
+                              segments: int = 1):
+    """Multi-key LUT evaluation: one MK bootstrap per sample.
+
+    Same construction as `programmable_bootstrap` on the MK blind rotation
+    (reference sign-only analogue: src/mk_internals.jl:498-515).
+    """
+    from .mk.internals import mk_blind_rotate_and_extract, mk_keyswitch
+
+    p_degree = bk.polynomial_degree
+    w = p_degree // space
+    bara = decode_message(x.a, p_degree * 2)
+    barb = decode_message(x.b, p_degree * 2) + jnp.int32(w // 2)
+    testvect = jnp.broadcast_to(
+        lut_test_polynomial(table, space, p_degree),
+        x.b.shape + (p_degree,),
+    )
+    u = mk_blind_rotate_and_extract(testvect, bk, barb, bara, segments)
+    return mk_keyswitch(ks_keys, u)
