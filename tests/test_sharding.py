@@ -140,3 +140,27 @@ def test_model_sharded_blind_rotate_bit_identical(toy_keys, data, model):
     rotate = parallel.make_blind_rotate_model_sharded(mesh)
     got = rotate(bk_sharded, jnp.asarray(acc0), jnp.asarray(bara))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_pbs_bit_identical(toy_keys):
+    """Programmable bootstrap under the mesh == single-device, bitwise."""
+    from tfhe_tpu import pbs
+
+    params, sk, ck = toy_keys
+    mesh = parallel.make_mesh(4, 2)
+    S, B = 4, 16
+    msgs = jnp.arange(B) % S
+    lut = jnp.asarray([2, 0, 3, 1], jnp.int32)
+    x = pbs.encrypt_pbs(jax.random.PRNGKey(5), sk, msgs, S)
+
+    want = pbs.programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, lut, x, S)
+
+    ck_sharded = parallel.shard_cloud_key(ck, mesh)
+    pbs_fn = parallel.make_pbs_sharded(mesh, params, S)
+    got = pbs_fn(ck_sharded, lut, parallel.shard_batch(x, mesh))
+
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    np.testing.assert_array_equal(
+        np.asarray(pbs.decrypt_pbs(sk, got, S)), np.asarray(lut)[msgs % S])

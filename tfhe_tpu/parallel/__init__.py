@@ -6,6 +6,7 @@ from .mesh import (
     shard_batch,
     make_bootstrap_sharded,
     make_gate_nand_sharded,
+    make_pbs_sharded,
 )
 
 __all__ = [
@@ -14,6 +15,7 @@ __all__ = [
     "shard_batch",
     "make_bootstrap_sharded",
     "make_gate_nand_sharded",
+    "make_pbs_sharded",
 ]
 
 from .mesh import shard_mk_cloud_key, shard_mk_batch  # noqa: E402

@@ -283,6 +283,51 @@ def shard_mk_batch(x, mesh: Mesh):
     )
 
 
+def make_pbs_sharded(mesh: Mesh, params, space: int):
+    """SPMD programmable bootstrap: DP LUT blind rotation + TP keyswitch.
+
+    Same sharding scheme as `make_bootstrap_sharded`; the plaintext LUT
+    (int[S], one table for the whole batch) is replicated. Returns
+    f(ck, table, x: LweSample[B]) -> LweSample[B], B divisible by mesh.size.
+    """
+    from ..pbs import programmable_bootstrap_wo_keyswitch
+
+    def fn(ck: CloudKey, table, x: LweSample) -> LweSample:
+        lwe_batch = P(("data", "model"))
+        lwe_specs = LweSample(P(("data", "model"), None), lwe_batch, lwe_batch)
+        out_batch = P("data")
+        out_specs = LweSample(P("data", None), out_batch, out_batch)
+        bk_specs = jax.tree.map(lambda _: P(), ck.bootstrap_key)
+        ks_specs = KeyswitchKey(
+            P("model", None),
+            ck.keyswitch_key.n_in, ck.keyswitch_key.n_out,
+            ck.keyswitch_key.decomp_length, ck.keyswitch_key.log2_base,
+            ck.keyswitch_key.noise_stddev,
+        )
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(bk_specs, ks_specs, P(None), lwe_specs),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        def run(bk, ks, table_local, x_local):
+            u = programmable_bootstrap_wo_keyswitch(
+                bk, table_local, x_local, space)
+            u = LweSample(
+                lax.all_gather(u.a, "model", axis=0, tiled=True),
+                lax.all_gather(u.b, "model", axis=0, tiled=True),
+                lax.all_gather(u.cv, "model", axis=0, tiled=True),
+            )
+            return _keyswitch_tp(ks, u)
+
+        return run(ck.bootstrap_key, ck.keyswitch_key,
+                   jnp.asarray(table, jnp.int32), x)
+
+    return fn
+
+
 def make_gate_nand_sharded(mesh: Mesh, params):
     """Batched sharded NAND: affine combo (local) + sharded bootstrap.
 

@@ -71,9 +71,10 @@ def lut_test_polynomial(table, space: int, polynomial_degree: int):
     return jnp.repeat(encode_pbs(table, space), w, axis=-1)
 
 
-def programmable_bootstrap(bk: BootstrapKey, ks: KeyswitchKey, table,
-                           x: LweSample, space: int) -> LweSample:
-    """LWE(table[m]/(2S)) from LWE(m/(2S)): one LUT evaluation per sample.
+def programmable_bootstrap_wo_keyswitch(bk: BootstrapKey, table,
+                                        x: LweSample,
+                                        space: int) -> LweSample:
+    """The LUT blind rotation, in the extracted (N*k)-dim LWE space.
 
     table: int[..., S] plaintext LUT (leading dims broadcast against x's
     batch shape — per-sample tables are allowed). Reuses the gate
@@ -94,12 +95,18 @@ def programmable_bootstrap(bk: BootstrapKey, ks: KeyswitchKey, table,
         batch_shape + (p_degree,),
     ).reshape((-1, p_degree))
     out = blind_rotate_and_extract(testvect, bk, barb, bara)
-    u = keyswitch(ks, out)
     return LweSample(
-        u.a.reshape(batch_shape + (u.a.shape[-1],)),
-        u.b.reshape(batch_shape),
-        u.cv.reshape(batch_shape),
+        out.a.reshape(batch_shape + (out.a.shape[-1],)),
+        out.b.reshape(batch_shape),
+        out.cv.reshape(batch_shape),
     )
+
+
+def programmable_bootstrap(bk: BootstrapKey, ks: KeyswitchKey, table,
+                           x: LweSample, space: int) -> LweSample:
+    """LWE(table[m]/(2S)) from LWE(m/(2S)): one LUT evaluation per sample."""
+    return keyswitch(ks, programmable_bootstrap_wo_keyswitch(
+        bk, table, x, space))
 
 
 # --- Multi-key PBS: the MK bootstrap generalizes identically ---
