@@ -340,3 +340,44 @@ def test_mk_expand_kernel_matches_prepared(monkeypatch, parties):
     got_sp = mk.mk_gate_nand(ck_sp, x, y)
     np.testing.assert_array_equal(np.asarray(got_sp.a), np.asarray(want.a))
     np.testing.assert_array_equal(np.asarray(got_sp.b), np.asarray(want.b))
+
+
+def test_mk_full_gate_set_truth_tables():
+    """All MK two-input gates + XOR family + MUX on a 2-party toy ceremony."""
+    parties = 2
+    params = mk.mktfhe_parameters_toy(max_parties=parties)
+    r_shared, r_enc, ra, rb = jax.random.split(jax.random.PRNGKey(77), 4)
+    shared = mk.make_shared_key(r_shared, params)
+    sks, parts = [], []
+    for rr in (ra, rb):
+        r_sk, r_part = jax.random.split(rr)
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(r_part, sk, shared))
+    ck = mk.make_mk_cloud_key(parts)
+
+    xs = jnp.asarray([False, False, True, True], bool)
+    ys = jnp.asarray([False, True, False, True], bool)
+    r1, r2 = jax.random.split(r_enc)
+    ct_x = mk.mk_encrypt(r1, sks, xs)
+    ct_y = mk.mk_encrypt(r2, sks, ys)
+    xn, yn = np.asarray(xs), np.asarray(ys)
+
+    table = {
+        mk.mk_gate_and: xn & yn, mk.mk_gate_or: xn | yn,
+        mk.mk_gate_xor: xn ^ yn, mk.mk_gate_xnor: ~(xn ^ yn),
+        mk.mk_gate_nor: ~(xn | yn), mk.mk_gate_andny: ~xn & yn,
+        mk.mk_gate_andyn: xn & ~yn, mk.mk_gate_orny: ~xn | yn,
+        mk.mk_gate_oryn: xn | ~yn,
+    }
+    for fn, want in table.items():
+        got = np.asarray(mk.mk_decrypt(sks, fn(ck, ct_x, ct_y)))
+        np.testing.assert_array_equal(got, want, err_msg=fn.__name__)
+
+    np.testing.assert_array_equal(
+        np.asarray(mk.mk_decrypt(sks, mk.mk_gate_not(ck, ct_x))), ~xn)
+
+    # MUX(x, y, z): use z = NOT y for a nontrivial select
+    ct_z = mk.mk_gate_not(ck, ct_y)
+    got = np.asarray(mk.mk_decrypt(sks, mk.mk_gate_mux(ck, ct_x, ct_y, ct_z)))
+    np.testing.assert_array_equal(got, np.where(xn, yn, ~yn))

@@ -34,6 +34,19 @@ from .internals import (
     mk_bootstrap,
     mk_bootstrap_wo_keyswitch,
 )
-from .gates import mk_gate_nand, mk_gate_and, mk_gate_or, mk_gate_not
+from .gates import (
+    mk_gate_nand,
+    mk_gate_and,
+    mk_gate_or,
+    mk_gate_not,
+    mk_gate_xor,
+    mk_gate_xnor,
+    mk_gate_nor,
+    mk_gate_andny,
+    mk_gate_andyn,
+    mk_gate_orny,
+    mk_gate_oryn,
+    mk_gate_mux,
+)
 
 __all__ = [name for name in dir() if not name.startswith("_")]

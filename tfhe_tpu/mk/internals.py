@@ -74,6 +74,12 @@ class MKLweSample(NamedTuple):
     def __neg__(self) -> "MKLweSample":
         return MKLweSample(-self.a, -self.b, self.cv)
 
+    def __mul__(self, c: int) -> "MKLweSample":
+        """Integer scalar multiple (exact int32 wraparound), variance c^2."""
+        return MKLweSample(self.a * c, self.b * c, self.cv * (c * c))
+
+    __rmul__ = __mul__
+
 
 def mk_lwe_phase(sample: MKLweSample, lwe_keys) -> jax.Array:
     """b + sum_p (-<a_p, s_p>) summed over parties.
