@@ -56,7 +56,13 @@ def mk_gate_not(ck: MKCloudKey, x: MKLweSample) -> MKLweSample:
 
 
 def mk_gate_xor(ck: MKCloudKey, x: MKLweSample, y: MKLweSample) -> MKLweSample:
-    """XOR = mk_bootstrap(1/4 + 2(x + y)) (constants per src/gates.jl:51-54)."""
+    """XOR = mk_bootstrap(1/4 + 2(x + y)) (constants per src/gates.jl:51-54).
+
+    Note: the 2(x+y) combination doubles input noise, so on the 2-party
+    production preset (intrinsically ~1.5%/gate for NAND,
+    docs/mk_noise_budget.md) XOR/XNOR fail correspondingly more often;
+    the 4/8-party presets have ample margin.
+    """
     temp = _trivial(_QUARTER, ck, x) + (x + y) * 2
     return mk_bootstrap(ck.bootstrap_key, ck.keyswitch_keys, _MU, temp)
 
