@@ -35,3 +35,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(123)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop trace/compile caches after each test module.
+
+    The suite compiles hundreds of programs; XLA:CPU has been observed to
+    segfault inside backend_compile once enough compiled state accumulates
+    (reproducible at the same collection point, gone in isolation). Clearing
+    between modules keeps the compiler's working set bounded — and caps the
+    suite's memory growth as a side effect.
+    """
+    yield
+    jax.clear_caches()
