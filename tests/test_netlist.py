@@ -232,3 +232,44 @@ def test_streamed_run_matches_dense_and_consts():
     s1p = na ^ nb
     s4p = ~(s1p & na)
     np.testing.assert_array_equal(want, np.where(s4p, s1p, nb))
+
+
+def test_kogge_stone_adder_matches_plaintext_and_is_shallow():
+    """Parallel-prefix adder: correct sums, log-depth schedule."""
+    params = tt.tfhe_parameters_toy()
+    sk, ck = tt.make_key_pair(jax.random.PRNGKey(123), params)
+
+    bits = 8
+    circ_ks = netlist.Circuit()
+    a_w = circ_ks.inputs(bits)
+    b_w = circ_ks.inputs(bits)
+    sum_w = netlist.build_kogge_stone_adder(circ_ks, a_w, b_w)
+    sched = circ_ks.compile(outputs=sum_w)
+
+    circ_r = netlist.Circuit()
+    ar = circ_r.inputs(bits)
+    br = circ_r.inputs(bits)
+    netlist.build_ripple_adder(circ_r, ar, br)
+    sched_r = circ_r.compile()
+
+    # the point of the prefix form: far fewer scheduled batches
+    assert max(sched.batch_level) + 1 <= 2 + 2 * bits.bit_length()
+    assert max(sched.batch_level) < max(sched_r.batch_level)
+
+    a_vals = np.asarray([13, 250, 0, 255], np.uint32)
+    b_vals = np.asarray([29, 77, 255, 255], np.uint32)
+    from tfhe_tpu import circuits
+    from tfhe_tpu.lwe import LweSample
+
+    ct_a = circuits.encrypt_word(jax.random.PRNGKey(1), sk, a_vals, bits)
+    ct_b = circuits.encrypt_word(jax.random.PRNGKey(2), sk, b_vals, bits)
+    inputs = {}
+    for i in range(bits):
+        inputs[a_w[i]] = LweSample(ct_a.a[:, i], ct_a.b[:, i], ct_a.cv[:, i])
+        inputs[b_w[i]] = LweSample(ct_b.a[:, i], ct_b.b[:, i], ct_b.cv[:, i])
+    state = sched.run(ck, inputs, batch_shape=(4,))
+    out_bits = np.stack(
+        [np.asarray(tt.decrypt(sk, sched.wire(state, w))) for w in sum_w],
+        axis=-1)
+    got = circuits.bits_to_int(jnp.asarray(out_bits))
+    np.testing.assert_array_equal(np.asarray(got), (a_vals + b_vals) % 256)

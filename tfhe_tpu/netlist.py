@@ -137,6 +137,62 @@ class Circuit:
         return Schedule(self, order, starts, types, levels, wire_slot, n_slots)
 
 
+def build_ripple_adder(circ: Circuit, a_wires, b_wires):
+    """a + b (mod 2^bits) as a ripple-carry netlist; returns sum wires.
+
+    Depth O(bits): the standard full-adder chain (sum via two XORs, carry
+    via MUX). Good gate count, poor batching — each bit level is its own
+    scheduled batch.
+    """
+    bits = len(a_wires)
+    carry = None
+    out = []
+    for i in range(bits):
+        axb = circ.xor(a_wires[i], b_wires[i])
+        if carry is None:
+            out.append(axb)
+            carry = circ.and_(a_wires[i], b_wires[i])
+        else:
+            out.append(circ.xor(axb, carry))
+            if i + 1 < bits:
+                carry = circ.mux(axb, carry, a_wires[i])
+    return out
+
+
+def build_kogge_stone_adder(circ: Circuit, a_wires, b_wires):
+    """a + b (mod 2^bits) as a parallel-prefix (Kogge-Stone) netlist.
+
+    Depth O(log bits) instead of O(bits): all bits' generate/propagate
+    pairs combine in log2(bits) prefix levels, and every level is a wide
+    same-type gate batch — exactly what the batched TPU executor wants:
+    one bootstrapped call per (level, type), so a 64-bit add is 35 wide
+    batches over 13 levels instead of ripple's 127 narrow batches over 64.
+    Gate count is O(bits log bits) (~5.7x ripple at 64 bits), so prefer
+    ripple when total bootstraps dominate (huge word batches) and this
+    form when dispatch depth / latency dominates (narrow batches).
+    """
+    bits = len(a_wires)
+    g = [circ.and_(a_wires[i], b_wires[i]) for i in range(bits)]
+    p = [circ.xor(a_wires[i], b_wires[i]) for i in range(bits)]
+    sums = [p[0]]
+    # prefix levels: after level d, (g[i], p[i]) spans bits [i-2^d+1 .. i]
+    gg, pp = list(g), list(p)
+    d = 1
+    while d < bits:
+        ng, np_ = list(gg), list(pp)
+        for i in range(d, bits):
+            t = circ.and_(pp[i], gg[i - d])
+            ng[i] = circ.or_(gg[i], t)
+            if i - d >= d:  # p only needed while it still feeds combines
+                np_[i] = circ.and_(pp[i], pp[i - d])
+        gg, pp = ng, np_
+        d *= 2
+    # carry into bit i is the full prefix generate of bits [0 .. i-1]
+    for i in range(1, bits):
+        sums.append(circ.xor(p[i], gg[i - 1]))
+    return sums
+
+
 def _native_path() -> str:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     return os.path.join(root, "native", "build", "libtfhe_circuit.so")
