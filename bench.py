@@ -25,6 +25,27 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
+def _probe_backend(timeout_s: int) -> bool:
+    """True if the backend can serve a device->host read within timeout_s.
+
+    Runs in a SUBPROCESS: when the axon tunnel is down, backend init hangs
+    indefinitely in-process and cannot be interrupted — a fast, clearly
+    labeled failure beats a silent multi-hour hang of the driver.
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy; numpy.asarray(jax.numpy.zeros(1)); "
+             "print('BACKEND_OK')"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+        return "BACKEND_OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -32,6 +53,13 @@ def main():
     import tfhe_tpu as tt
     from tfhe_tpu import gates
     from tfhe_tpu.utils.sync import device_barrier, prime_sync
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("cpu",) and \
+            not _probe_backend(int(os.environ.get("TFHE_TPU_BENCH_PROBE_S",
+                                                  "180"))):
+        log("FATAL: device backend unreachable (tunnel down?) — "
+            "refusing to hang; set TFHE_TPU_BENCH_PROBE_S to adjust")
+        sys.exit(3)
 
     prime_sync()  # tunneled-TPU: honest AND fast dispatch mode (utils/sync.py)
     backend = jax.default_backend()
