@@ -98,3 +98,19 @@ def test_nand_truth_table_128():
     ct_y = tt.encrypt(jax.random.PRNGKey(2), sk, ys)
     out = tt.decrypt(sk, gates.gate_nand(ck, ct_x, ct_y))
     np.testing.assert_array_equal(np.asarray(out), [True, True, True, False])
+
+
+def test_radix_add_128():
+    """Radix (base-4 digit) adder at the 128-bit preset: the 1/(4S) = 1/32
+    margin holds production noise (see tfhe_tpu/radix.py docstring)."""
+    from tfhe_tpu import radix
+
+    params = tt.tfhe_parameters_128()
+    sk, ck = tt.make_key_pair(jax.random.PRNGKey(321), params)
+    a = np.asarray([0, 255, 170, 99], np.int32)
+    b = np.asarray([0, 1, 85, 201], np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(11), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(12), sk, jnp.asarray(b), 8)
+    out = radix.radix_add(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, out)), (a + b) % 256)

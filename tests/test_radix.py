@@ -1,0 +1,95 @@
+"""Radix integer arithmetic: decrypt-level round trips on toy params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tfhe_tpu as tt
+from tfhe_tpu import radix
+
+
+@pytest.fixture(scope="module")
+def toy_keys():
+    return tt.make_key_pair(jax.random.PRNGKey(88), tt.tfhe_parameters_toy())
+
+
+def test_radix_roundtrip(toy_keys):
+    sk, _ = toy_keys
+    vals = jnp.arange(16, dtype=jnp.int32) * 17 % 256
+    ct = radix.encrypt_radix(jax.random.PRNGKey(0), sk, vals, 8)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, ct)), np.asarray(vals))
+
+
+def test_radix_add(toy_keys):
+    sk, ck = toy_keys
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, 12).astype(np.int32)
+    b = rng.integers(0, 256, 12).astype(np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(1), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(2), sk, jnp.asarray(b), 8)
+    out = radix.radix_add(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, out)), (a + b) % 256)
+
+
+def test_radix_add_carry_chain(toy_keys):
+    # all-carries worst case: 0xFF + 1 wraps through every digit
+    sk, ck = toy_keys
+    a = jnp.asarray([255, 255, 170], jnp.int32)
+    b = jnp.asarray([1, 255, 85], jnp.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(3), sk, a, 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(4), sk, b, 8)
+    out = radix.radix_add(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, out)), [0, 254, 255])
+
+
+def test_radix_scalar_add(toy_keys):
+    sk, ck = toy_keys
+    a = jnp.asarray([3, 200, 255], jnp.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(5), sk, a, 8)
+    out = radix.radix_scalar_add(ck, xa, 77)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, out)), (np.asarray(a) + 77) % 256)
+
+
+def test_radix_sub_and_geq(toy_keys):
+    sk, ck = toy_keys
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 256, 10).astype(np.int32)
+    b = rng.integers(0, 256, 10).astype(np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(6), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(7), sk, jnp.asarray(b), 8)
+    out = radix.radix_sub(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, out)), (a - b) % 256)
+    geq = radix.radix_geq(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(tt.pbs.decrypt_pbs(sk, geq, radix.SPACE)),
+        (a >= b).astype(np.int64))
+
+
+def test_radix_eq(toy_keys):
+    sk, ck = toy_keys
+    a = np.asarray([5, 129, 200, 255, 0, 77], np.int32)
+    b = np.asarray([5, 130, 200, 0, 0, 78], np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(8), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(9), sk, jnp.asarray(b), 8)
+    eq = radix.radix_eq(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(tt.pbs.decrypt_pbs(sk, eq, radix.SPACE)),
+        (a == b).astype(np.int64))
+
+
+def test_radix_wide_eq(toy_keys):
+    # 32-bit words: 16 digits exercises the log-tree flag collapse
+    sk, ck = toy_keys
+    a = np.asarray([0x12345678, 0xDEADBEEF], np.int64).astype(np.int32)
+    b = np.asarray([0x12345678, 0xDEADBEE0], np.int64).astype(np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(10), sk, jnp.asarray(a), 32)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(11), sk, jnp.asarray(b), 32)
+    eq = radix.radix_eq(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(tt.pbs.decrypt_pbs(sk, eq, radix.SPACE)), [1, 0])
