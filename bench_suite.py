@@ -6,6 +6,7 @@ bench.py). Configs (BASELINE.md "Measured configs"):
   2. full gate set, decrypt-verified (keyswitch path exercised per gate)
   3. 4096-gate batched NAND bootstrap throughput, 128-bit params
   4. 8-bit ripple-carry adder throughput (words/sec)
+  4b. 8-bit radix adder throughput (base-4 digits on PBS, 1 rotation/bit)
   5. 2-party multi-key NAND throughput
 
 Env: TFHE_SUITE_SMALL=1 shrinks batches for CPU smoke runs.
@@ -163,6 +164,23 @@ def main():
     want = np.asarray((av + 2 * bv) % 256)
     emit("adder8_words_per_sec", W / dt, "adds/s",
          {"correct": bool((got == want).all())})
+
+    # --- 4b: 8-bit radix adder (base-4 digits on PBS: 1 rotation/bit) ---
+    from tfhe_tpu import radix
+
+    ra_ = radix.encrypt_radix(jax.random.PRNGKey(13), sk2, av, 8)
+    rb_ = radix.encrypt_radix(jax.random.PRNGKey(14), sk2, bv, 8)
+    radd = jax.jit(radix.radix_add)
+    out_r = radd(ck2, ra_, rb_); jax.block_until_ready(out_r)
+    t0 = time.time()
+    out_r = radd(ck2, out_r, rb_)
+    jax.block_until_ready(out_r)
+    dt = time.time() - t0
+    got = np.asarray(radix.decrypt_radix(sk2, out_r))
+    want = np.asarray((av + 2 * bv) % 256)
+    emit("radix_adder8_words_per_sec", W / dt, "adds/s",
+         {"correct": bool((got == want).all())})
+    del ra_, rb_, out_r
 
     # --- 5: 2-party MK NAND ---
     del ck2, sk2, bx, by, ca, cb, out

@@ -93,3 +93,52 @@ def test_radix_wide_eq(toy_keys):
     eq = radix.radix_eq(ck, xa, xb)
     np.testing.assert_array_equal(
         np.asarray(tt.pbs.decrypt_pbs(sk, eq, radix.SPACE)), [1, 0])
+
+
+def test_radix_min_max(toy_keys):
+    sk, ck = toy_keys
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, 256, 8).astype(np.int32)
+    b = rng.integers(0, 256, 8).astype(np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(20), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(21), sk, jnp.asarray(b), 8)
+    mn = radix.radix_min(ck, xa, xb)
+    mx = radix.radix_max(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, mn)), np.minimum(a, b))
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, mx)), np.maximum(a, b))
+
+
+def test_radix_select_equal_words(toy_keys):
+    # a == b: either branch must reproduce the value exactly
+    sk, ck = toy_keys
+    a = jnp.asarray([42, 0, 255], jnp.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(22), sk, a, 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(23), sk, a, 8)
+    mn = radix.radix_min(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, mn)), np.asarray(a))
+
+
+def test_radix_mul(toy_keys):
+    sk, ck = toy_keys
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 256, 6).astype(np.int32)
+    b = rng.integers(0, 256, 6).astype(np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(30), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(31), sk, jnp.asarray(b), 8)
+    prod = radix.radix_mul(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, prod)), (a * b) % 256)
+
+
+def test_radix_mul_edges(toy_keys):
+    sk, ck = toy_keys
+    a = np.asarray([0, 1, 255, 255, 85], np.int32)
+    b = np.asarray([255, 255, 255, 0, 85], np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(32), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(33), sk, jnp.asarray(b), 8)
+    prod = radix.radix_mul(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, prod)), (a * b) % 256)

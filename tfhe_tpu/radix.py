@@ -159,6 +159,175 @@ def radix_geq(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
                       _trivial_digit(1, _digit(a, 0)))[1]
 
 
+def _scaled_flag(ck: CloudKey, flag: LweSample) -> LweSample:
+    """Re-encode a 0/1 flag digit as {0, 4} with one LUT rotation.
+
+    Scaling by 4 inside the LUT instead of multiplying the LWE sample by 4
+    keeps the flag's noise at one fresh-bootstrap sigma — a scalar multiply
+    would amplify it 4x past the 1/32 margin (docs/leveled_mode.md)."""
+    lut = jnp.asarray([(DIGIT_BASE if s == 1 else 0) for s in range(SPACE)],
+                      jnp.int32)
+    return programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, lut, flag, SPACE)
+
+
+# Bivariate select LUTs over u = digit + flag4 in [0, 8): the top half of
+# the window is "flag set". Evaluated as one stacked-table PBS per digit.
+_PICK_TABLES = [
+    [u - DIGIT_BASE if u >= DIGIT_BASE else 0 for u in range(SPACE)],  # f*d
+    [0 if u >= DIGIT_BASE else u for u in range(SPACE)],  # (1-f)*d
+]
+
+
+def radix_select(ck: CloudKey, flag4: LweSample, a: LweSample,
+                 b: LweSample) -> LweSample:
+    """Digit-wise flag4 ? a : b for a {0,4}-encoded flag (cf. _scaled_flag).
+
+    Per digit: f*a_i + (1-f)*b_i via two bivariate LUTs on digit+flag4
+    (no ciphertext-by-scalar products, so each output digit is the sum of
+    two bootstrap-fresh samples)."""
+    d = a.b.shape[-1]
+    tables = jnp.asarray(_PICK_TABLES, jnp.int32)
+    out = []
+    for i in range(d):
+        ua = _digit(a, i) + flag4
+        ub = _digit(b, i) + flag4
+        pair = LweSample(
+            jnp.stack([ua.a, ub.a], axis=-2),
+            jnp.stack([ua.b, ub.b], axis=-1),
+            jnp.stack([ua.cv, ub.cv], axis=-1),
+        )
+        res = programmable_bootstrap(
+            ck.bootstrap_key, ck.keyswitch_key, tables, pair, SPACE)
+        out.append(LweSample(res.a[..., 0, :], res.b[..., 0], res.cv[..., 0])
+                   + LweSample(res.a[..., 1, :], res.b[..., 1],
+                               res.cv[..., 1]))
+    return _stack_digits(out)
+
+
+def radix_min(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """Encrypted minimum: [a >= b] selects b. ~2 rotations/bit total
+    (radix analogue of the reference tutorial's comparator chain,
+    examples/tutorial.jl:42-62)."""
+    flag4 = _scaled_flag(ck, radix_geq(ck, a, b))
+    return radix_select(ck, flag4, b, a)
+
+
+def radix_max(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """Encrypted maximum: [a >= b] selects a."""
+    flag4 = _scaled_flag(ck, radix_geq(ck, a, b))
+    return radix_select(ck, flag4, a, b)
+
+
+# Bit-extraction LUTs: a clean digit's two bits, pre-scaled to the {0, 4}
+# flag encoding (so they can gate bivariate selects without a noisy
+# scalar multiply). Entries for u >= 4 never occur on clean digits.
+_BIT_FLAG_TABLES = [
+    [DIGIT_BASE * ((u % DIGIT_BASE) & 1) for u in range(SPACE)],
+    [DIGIT_BASE * ((u % DIGIT_BASE) >> 1) for u in range(SPACE)],
+]
+
+# Gated doubling LUTs over u = digit + flag4: the low/high digits of
+# 2*digit when the flag is set, zero otherwise ((2*3)=6 spans two digits).
+_DOUBLE_TABLES = [
+    [(2 * (u - DIGIT_BASE)) % DIGIT_BASE if u >= DIGIT_BASE else 0
+     for u in range(SPACE)],
+    [(2 * (u - DIGIT_BASE)) // DIGIT_BASE if u >= DIGIT_BASE else 0
+     for u in range(SPACE)],
+]
+
+
+def _word_plus_flag(word: LweSample, flag4: LweSample) -> LweSample:
+    """Broadcast-add one flag sample onto every digit of a word."""
+    return LweSample(
+        word.a + flag4.a[..., None, :],
+        word.b + flag4.b[..., None],
+        word.cv + flag4.cv[..., None],
+    )
+
+
+def _low_digits(word: LweSample, count: int) -> LweSample:
+    return LweSample(word.a[..., :count, :], word.b[..., :count],
+                     word.cv[..., :count])
+
+
+def _pad_low(word: LweSample, t: int, d: int) -> LweSample:
+    """Shift a word up by t digit positions (pad t trivial zeros at the
+    bottom), truncating to d digits."""
+    if t == 0:
+        return word
+    zero = lwe_noiseless_trivial(
+        jnp.int32(0), word.a.shape[-1], word.b.shape[:-1] + (t,))
+    return LweSample(
+        jnp.concatenate([zero.a, word.a], axis=-2)[..., :d, :],
+        jnp.concatenate([zero.b, word.b], axis=-1)[..., :d],
+        jnp.concatenate([zero.cv, word.cv], axis=-1)[..., :d],
+    )
+
+
+def radix_mul(ck: CloudKey, x: LweSample, y: LweSample) -> LweSample:
+    """x * y mod 4^d over radix words.
+
+    Schoolbook over the bits of y: each bit is extracted as a {0, 4} flag
+    (one stacked-table PBS per y digit), each partial product is a
+    flag-gated select/double of x's digits (one stacked-table PBS per
+    (bit, digit) diagonal), and the partials are summed with the radix
+    carry chain. ~2.6x fewer blind rotations than the bit-level
+    multiplier (circuits.multiply) at 8 bits.
+    """
+    d = x.b.shape[-1]
+    bit_tables = jnp.asarray(_BIT_FLAG_TABLES, jnp.int32)
+    pick_high = jnp.asarray(_PICK_TABLES[0], jnp.int32)
+    dbl_tables = jnp.asarray(_DOUBLE_TABLES, jnp.int32)[:, None, :]  # [2,1,S]
+
+    # bits of y as flag4 samples, LSB first
+    flags = []
+    for i in range(d):
+        yi = _digit(y, i)
+        pair = LweSample(
+            jnp.stack([yi.a, yi.a], axis=-2),
+            jnp.stack([yi.b, yi.b], axis=-1),
+            jnp.stack([yi.cv, yi.cv], axis=-1),
+        )
+        res = programmable_bootstrap(
+            ck.bootstrap_key, ck.keyswitch_key, bit_tables, pair, SPACE)
+        flags.append(LweSample(res.a[..., 0, :], res.b[..., 0],
+                               res.cv[..., 0]))
+        flags.append(LweSample(res.a[..., 1, :], res.b[..., 1],
+                               res.cv[..., 1]))
+
+    partials = []
+    for j, f in enumerate(flags):
+        t, odd = divmod(j, 2)
+        if d - t <= 0:
+            break
+        src = _word_plus_flag(_low_digits(x, d - t), f)
+        if not odd:
+            word = programmable_bootstrap(
+                ck.bootstrap_key, ck.keyswitch_key, pick_high, src, SPACE)
+            partials.append(_pad_low(word, t, d))
+        else:
+            pair = LweSample(
+                jnp.stack([src.a, src.a], axis=-3),
+                jnp.stack([src.b, src.b], axis=-2),
+                jnp.stack([src.cv, src.cv], axis=-2),
+            )
+            res = programmable_bootstrap(
+                ck.bootstrap_key, ck.keyswitch_key, dbl_tables, pair, SPACE)
+            lo = LweSample(res.a[..., 0, :, :], res.b[..., 0, :],
+                           res.cv[..., 0, :])
+            hi = LweSample(res.a[..., 1, :, :], res.b[..., 1, :],
+                           res.cv[..., 1, :])
+            partials.append(_pad_low(lo, t, d))
+            if t + 1 < d:
+                partials.append(_pad_low(_low_digits(hi, d - t - 1),
+                                         t + 1, d))
+    acc = partials[0]
+    for p in partials[1:]:
+        acc = radix_add(ck, acc, p)
+    return acc
+
+
 def radix_eq(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
     """Encrypted [a == b] as a 0/1 radix digit.
 
