@@ -142,3 +142,27 @@ def test_radix_mul_edges(toy_keys):
     prod = radix.radix_mul(ck, xa, xb)
     np.testing.assert_array_equal(
         np.asarray(radix.decrypt_radix(sk, prod)), (a * b) % 256)
+
+
+def test_radix_divide(toy_keys):
+    sk, ck = toy_keys
+    a = np.asarray([200, 13, 255, 81, 7], np.int32)
+    b = np.asarray([7, 250, 1, 9, 200], np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(40), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(41), sk, jnp.asarray(b), 8)
+    q, r = radix.radix_divide(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, q)), a // b)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, r)), a % b)
+
+
+def test_radix_divide_by_zero(toy_keys):
+    sk, ck = toy_keys
+    a = np.asarray([42], np.int32)
+    b = np.asarray([0], np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(42), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(43), sk, jnp.asarray(b), 8)
+    q, r = radix.radix_divide(ck, xa, xb)
+    np.testing.assert_array_equal(np.asarray(radix.decrypt_radix(sk, q)), [255])
+    np.testing.assert_array_equal(np.asarray(radix.decrypt_radix(sk, r)), [42])

@@ -328,6 +328,82 @@ def radix_mul(ck: CloudKey, x: LweSample, y: LweSample) -> LweSample:
     return acc
 
 
+# Unconditional doubling LUTs: low/high digits of 2*digit (6 = 2*3 spans
+# two digit positions). Mirrored across the unused top window half.
+_DBL_LO = [(2 * (u % DIGIT_BASE)) % DIGIT_BASE for u in range(SPACE)]
+_DBL_HI = [(2 * (u % DIGIT_BASE)) // DIGIT_BASE for u in range(SPACE)]
+
+# Unscaled bit extraction (0/1 outputs, usable as a carry-in digit).
+_BIT_TABLES = [
+    [(u % DIGIT_BASE) & 1 for u in range(SPACE)],
+    [(u % DIGIT_BASE) >> 1 for u in range(SPACE)],
+]
+
+
+def radix_divide(ck: CloudKey, num: LweSample, den: LweSample):
+    """Unsigned restoring division: returns (quotient, remainder).
+
+    Bit-serial over the numerator (MSB first): r <- 2r + n_bit, then a
+    trial subtract r - den whose carry-out is the quotient bit and selects
+    the restored/updated remainder. The doubling and the trial subtract
+    both ride the radix carry chain; ~1.6x fewer blind rotations than the
+    bit-level divider (circuits.divide). Division by zero returns
+    quotient all-ones and remainder num, like its bit-level counterpart.
+    """
+    d = num.b.shape[-1]
+    bit_tables = jnp.asarray(_BIT_TABLES, jnp.int32)[:, None, :]  # [2,1,S]
+    dbl_tables = jnp.asarray([_DBL_LO, _DBL_HI], jnp.int32)[:, None, :]
+    ident = jnp.asarray([u % DIGIT_BASE for u in range(SPACE)], jnp.int32)
+
+    # numerator bits as 0/1 digits, one stacked PBS over the digit axis
+    res = programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, bit_tables,
+        LweSample(jnp.stack([num.a, num.a], axis=-3),
+                  jnp.stack([num.b, num.b], axis=-2),
+                  jnp.stack([num.cv, num.cv], axis=-2)),
+        SPACE)
+    n_bits = []  # LSB first
+    for i in range(d):
+        n_bits.append(LweSample(res.a[..., 0, i, :], res.b[..., 0, i],
+                                res.cv[..., 0, i]))
+        n_bits.append(LweSample(res.a[..., 1, i, :], res.b[..., 1, i],
+                                res.cv[..., 1, i]))
+
+    zero = _trivial_digit(0, _digit(num, 0))
+    r = _stack_digits([zero] * d)
+    neg_den = _complement(den)
+    one = _trivial_digit(1, zero)
+    q_bits = []
+    for i in reversed(range(2 * d)):
+        # r <- 2r + n_bit_i: doubling LUTs + one carry chain with the bit
+        # as carry-in (lo digits are even, so lo + hi<<1 + bit <= 7)
+        dbl = programmable_bootstrap(
+            ck.bootstrap_key, ck.keyswitch_key, dbl_tables,
+            LweSample(jnp.stack([r.a, r.a], axis=-3),
+                      jnp.stack([r.b, r.b], axis=-2),
+                      jnp.stack([r.cv, r.cv], axis=-2)),
+            SPACE)
+        lo = LweSample(dbl.a[..., 0, :, :], dbl.b[..., 0, :],
+                       dbl.cv[..., 0, :])
+        hi = LweSample(dbl.a[..., 1, :, :], dbl.b[..., 1, :],
+                       dbl.cv[..., 1, :])
+        r2 = _add_chain(ck, lo, _pad_low(_low_digits(hi, d - 1), 1, d),
+                        n_bits[i])[0]
+        # trial subtract: carry-out is the quotient bit, diff the candidate
+        diff, geq = _add_chain(ck, r2, neg_den, one)
+        q_bits.append(geq)
+        r = radix_select(ck, _scaled_flag(ck, geq), diff, r2)
+
+    # assemble quotient bits (MSB-first collected) into clean digits
+    q_bits = q_bits[::-1]  # LSB first
+    q_digits = []
+    for i in range(d):
+        u = q_bits[2 * i] + q_bits[2 * i + 1] * 2
+        q_digits.append(programmable_bootstrap(
+            ck.bootstrap_key, ck.keyswitch_key, ident, u, SPACE))
+    return _stack_digits(q_digits), r
+
+
 def radix_eq(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
     """Encrypted [a == b] as a 0/1 radix digit.
 
