@@ -8,7 +8,10 @@ encrypted bits. Trust boundaries are annotated inline.
 Usage: python examples/multikey.py [--production]
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import numpy as np

@@ -11,7 +11,10 @@ evaluations chain indefinitely (each bootstrap refreshes noise).
 Usage: python examples/pbs_lut.py [--production]
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

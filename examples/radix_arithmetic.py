@@ -11,7 +11,10 @@ per bit. Run on toy parameters by default (fast anywhere); pass
 Usage: python examples/radix_arithmetic.py [--production]
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

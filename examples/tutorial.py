@@ -9,7 +9,10 @@ comparator chain; the client decrypts. Run on toy parameters by default
 Usage: python examples/tutorial.py [--production]
 """
 
+import pathlib
 import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

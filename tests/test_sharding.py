@@ -164,3 +164,31 @@ def test_sharded_pbs_bit_identical(toy_keys):
     np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
     np.testing.assert_array_equal(
         np.asarray(pbs.decrypt_pbs(sk, got, S)), np.asarray(lut)[msgs % S])
+
+
+def test_sharded_radix_add_bit_identical(toy_keys):
+    """Radix words shard data-parallel over the word axis: the jitted add
+    under GSPMD (NamedSharding inputs) must be bit-identical to the
+    single-device result (every PBS is per-sample deterministic)."""
+    from tfhe_tpu import radix
+
+    params, sk, ck = toy_keys
+    mesh = parallel.make_mesh(8, 1)
+    B = 16
+    rng = np.random.default_rng(7)
+    av = jnp.asarray(rng.integers(0, 256, B).astype(np.int32))
+    bv = jnp.asarray(rng.integers(0, 256, B).astype(np.int32))
+    xa = radix.encrypt_radix(jax.random.PRNGKey(51), sk, av, 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(52), sk, bv, 8)
+
+    ref = jax.jit(radix.radix_add)(ck, xa, xb)
+
+    xa_s = parallel.shard_batch(xa, mesh)
+    xb_s = parallel.shard_batch(xb, mesh)
+    out = jax.jit(radix.radix_add)(ck, xa_s, xb_s)
+
+    np.testing.assert_array_equal(np.asarray(out.a), np.asarray(ref.a))
+    np.testing.assert_array_equal(np.asarray(out.b), np.asarray(ref.b))
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, out)),
+        np.asarray((av + bv) % 256))
