@@ -29,13 +29,17 @@ FORMAT_VERSION = 1
 
 
 def _type_table():
-    from .. import api, bootstrap, keyswitch, lwe, tlwe
+    from .. import api, bootstrap, compressed, keyswitch, lwe, tlwe
     from ..mk import api as mk_api
     from ..mk import internals as mk_internals
     from ..params import SchemeParameters
 
     return {
         "SchemeParameters": SchemeParameters,
+        "SeededLweSample": compressed.SeededLweSample,
+        "SeededKeyswitchKey": compressed.SeededKeyswitchKey,
+        "SeededBootstrapKey": compressed.SeededBootstrapKey,
+        "SeededCloudKey": compressed.SeededCloudKey,
         "SecretKey": api.SecretKey,
         "CloudKey": api.CloudKey,
         "BootstrapKey": bootstrap.BootstrapKey,
