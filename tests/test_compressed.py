@@ -168,3 +168,54 @@ def test_seeded_cloud_key_production_80bit():
             cy = tt.encrypt(k2, sk, jnp.asarray([y]))
             out = tt.decrypt(sk, tt.gate_nand(ck, cx, cy))
             assert bool(np.asarray(out)[0]) == (not (x and y))
+
+
+def test_seeded_mk_ceremony_bit_identical():
+    """Seeded SharedKey/CloudKeyPart expand bit-identically to the unseeded
+    ceremony run with the same rngs, and the assembled MK cloud key
+    round-trips a NAND truth table."""
+    from tfhe_tpu import mk
+
+    parties = 2
+    params = mk.mktfhe_parameters_toy(max_parties=parties)
+    rng = jax.random.PRNGKey(42)
+    r_shared, r_enc, *r_parties = jax.random.split(rng, 2 + parties)
+
+    shared_full = mk.make_shared_key(r_shared, params)
+    shared_seeded = compressed.make_shared_key_seeded(r_shared, params)
+    shared = compressed.expand_shared_key(
+        serialization.loads(serialization.dumps(shared_seeded)))
+    np.testing.assert_array_equal(np.asarray(shared.a),
+                                  np.asarray(shared_full.a))
+
+    sks, parts = [], []
+    for p in range(parties):
+        r_sk, r_part = jax.random.split(r_parties[p])
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        full_part = mk.make_cloud_key_part(r_part, sk, shared)
+        seeded_part = compressed.make_seeded_cloud_key_part(r_part, sk, shared)
+        part = compressed.expand_cloud_key_part(
+            serialization.loads(serialization.dumps(seeded_part)))
+        np.testing.assert_array_equal(
+            np.asarray(part.key_uni_enc.cd),
+            np.asarray(full_part.key_uni_enc.cd))
+        np.testing.assert_array_equal(
+            np.asarray(part.public_key), np.asarray(full_part.public_key))
+        np.testing.assert_array_equal(
+            np.asarray(part.keyswitch_key.table_limbs),
+            np.asarray(full_part.keyswitch_key.table_limbs))
+        # wire size: 2 of 6 uni-enc rows + the whole keyswitch table elided
+        assert (len(serialization.dumps(seeded_part)) * 2
+                < len(serialization.dumps(full_part)))
+        parts.append(part)
+
+    ck = mk.make_mk_cloud_key(parts)
+    xs = jnp.asarray([False, True], bool)
+    ys = jnp.asarray([True, True], bool)
+    r1, r2 = jax.random.split(r_enc)
+    ct_x = mk.mk_encrypt(r1, sks, xs)
+    ct_y = mk.mk_encrypt(r2, sks, ys)
+    out = mk.mk_gate_nand(ck, ct_x, ct_y)
+    np.testing.assert_array_equal(
+        np.asarray(mk.mk_decrypt(sks, out)), [True, False])

@@ -72,6 +72,7 @@ from .gates import (
 from . import polynomial
 from . import circuits
 from . import compressed
+from . import public
 from . import pbs
 from . import radix
 from . import mk

@@ -318,3 +318,115 @@ def expand_cloud_key(ck: SeededCloudKey, block: int | None = None,
         expand_bootstrap_key(ck.bootstrap_key, block, depth),
         expand_keyswitch_key(ck.keyswitch_key),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded multi-key ceremony artifacts
+# ---------------------------------------------------------------------------
+#
+# The MK ceremony is where wire size actually matters (CloudKeyPart travels
+# party -> server, reference: examples/multikey.jl:19-23). Seedable pieces:
+# the SharedKey is pure public randomness (ships as ONE seed); inside each
+# uni-encryption (reference: src/mk_internals.jl:185-227) c1 and f1 are
+# uniform (2 of 6 polynomial vectors), and the party keyswitch key seeds as
+# in the single-key case. The encryption randomness r and all noise draws
+# come from sibling threefry subkeys that are never shipped, so publishing
+# the c1/f1 subkeys reveals exactly the public values they already equal.
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["seed"],
+    meta_fields=["params"],
+)
+@dataclasses.dataclass(frozen=True)
+class SeededSharedKey:
+    """The common reference string as a single PRNG seed."""
+
+    params: SchemeParameters
+    seed: jax.Array
+
+
+def make_shared_key_seeded(rng, params: SchemeParameters) -> SeededSharedKey:
+    """Seeded twin of `mk.make_shared_key`: expansion is bit-identical."""
+    assert params.tlwe_mask_size == 1, "MK-TFHE requires k=1 (reference issue #2)"
+    return SeededSharedKey(params, _seed_data(rng))
+
+
+def expand_shared_key(sk: SeededSharedKey):
+    from .mk.api import SharedKey
+    from .mk.internals import shared_key_gen
+
+    return SharedKey(
+        sk.params,
+        shared_key_gen(_seed_key(sk.seed), sk.params.bs_decomp_length,
+                       sk.params.tlwe_polynomial_degree),
+    )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["public_key", "ue_seeds", "ue_bodies", "keyswitch_key"],
+    meta_fields=["params"],
+)
+@dataclasses.dataclass(frozen=True)
+class SeededCloudKeyPart:
+    """One party's ceremony contribution in seeded wire form.
+
+    public_key: int32[l, N] bodies (masks ARE the shared key);
+    ue_seeds: the c1/f1 PRNG subkeys, stacked [2, ...];
+    ue_bodies: int32[n, 4, l, N] — the (c0, d0, d1, f0) rows of each
+    uni-encryption; keyswitch_key: seeded party-local keyswitch key.
+    Expansion is bit-identical to `mk.make_cloud_key_part` with the same rng.
+    """
+
+    params: SchemeParameters
+    public_key: jax.Array
+    ue_seeds: jax.Array
+    ue_bodies: jax.Array
+    keyswitch_key: SeededKeyswitchKey
+
+
+def make_seeded_cloud_key_part(rng, secret_key: SecretKey,
+                               shared) -> SeededCloudKeyPart:
+    """Party-side seeded keygen (same rng discipline as
+    `mk.make_cloud_key_part`, reference: src/mk_api.jl:66-76)."""
+    from .mk.internals import mk_tgsw_encrypt, public_key_gen
+
+    params = secret_key.params
+    rng_tlwe, rng_pk, rng_bk, rng_ks = jax.random.split(rng, 4)
+    tlwe_key = tlwe_key_gen(rng_tlwe, params.tlwe_polynomial_degree, 1)
+    pk = public_key_gen(rng_pk, tlwe_key, params.bs_noise_stddev, shared.a)
+    uni = mk_tgsw_encrypt(
+        rng_bk, secret_key.key, params.bs_noise_stddev, tlwe_key, shared.a,
+        pk, params.bs_decomp_length, params.bs_log2_base,
+        batch_shape=(params.lwe_size,),
+    )
+    # mk_tgsw_encrypt's internal 7-way split: keys[1] -> c1, keys[2] -> f1.
+    keys = jax.random.split(rng_bk, 7)
+    ue_seeds = jnp.stack([_seed_data(keys[1]), _seed_data(keys[2])])
+    ue_bodies = uni.cd[:, jnp.asarray([0, 2, 3, 4]), :, :]
+    ks = keyswitch_key_gen_seeded(
+        rng_ks, params.ks_noise_stddev, tlwe_key.reshape(-1), secret_key.key,
+        params.ks_decomp_length, params.ks_log2_base,
+    )
+    return SeededCloudKeyPart(params, pk, ue_seeds, ue_bodies, ks)
+
+
+def expand_cloud_key_part(part: SeededCloudKeyPart):
+    """Server-side expansion into the full CloudKeyPart."""
+    from .mk.api import CloudKeyPart
+    from .mk.internals import MKTGswUESample
+
+    params = part.params
+    n = part.ue_bodies.shape[0]
+    l = params.bs_decomp_length
+    poly_n = params.tlwe_polynomial_degree
+    c1 = rand_uniform_torus32(_seed_key(part.ue_seeds[0]), (n, l, poly_n))
+    f1 = rand_uniform_torus32(_seed_key(part.ue_seeds[1]), (n, l, poly_n))
+    c0, d0, d1, f0 = (part.ue_bodies[:, i] for i in range(4))
+    cd = jnp.stack([c0, c1, d0, d1, f0, f1], axis=1)
+    return CloudKeyPart(
+        params, part.public_key, MKTGswUESample(cd),
+        expand_keyswitch_key(part.keyswitch_key),
+    )

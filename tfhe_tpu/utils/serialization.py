@@ -29,7 +29,7 @@ FORMAT_VERSION = 1
 
 
 def _type_table():
-    from .. import api, bootstrap, compressed, keyswitch, lwe, tlwe
+    from .. import api, bootstrap, compressed, keyswitch, lwe, public, tlwe
     from ..mk import api as mk_api
     from ..mk import internals as mk_internals
     from ..params import SchemeParameters
@@ -40,6 +40,10 @@ def _type_table():
         "SeededKeyswitchKey": compressed.SeededKeyswitchKey,
         "SeededBootstrapKey": compressed.SeededBootstrapKey,
         "SeededCloudKey": compressed.SeededCloudKey,
+        "SeededSharedKey": compressed.SeededSharedKey,
+        "SeededCloudKeyPart": compressed.SeededCloudKeyPart,
+        "LwePublicKey": public.LwePublicKey,
+        "SeededLwePublicKey": public.SeededLwePublicKey,
         "SecretKey": api.SecretKey,
         "CloudKey": api.CloudKey,
         "BootstrapKey": bootstrap.BootstrapKey,
