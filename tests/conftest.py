@@ -49,3 +49,24 @@ def _clear_jax_caches_between_modules():
     """
     yield
     jax.clear_caches()
+
+
+_TESTS_SINCE_CLEAR = [0]
+_CLEAR_EVERY = 8  # test_radix alone crashes XLA:CPU after ~12 tests unclear
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_periodically():
+    """Also clear every few tests WITHIN a module.
+
+    As modules grew, the XLA:CPU backend_compile segfault reappeared
+    mid-module (first seen inside test_radix at ~45% of the suite);
+    module-boundary clearing alone no longer bounds the compiler's working
+    set. A periodic clear costs a few recompiles per module and keeps the
+    accumulated compiled state far below the crash threshold.
+    """
+    yield
+    _TESTS_SINCE_CLEAR[0] += 1
+    if _TESTS_SINCE_CLEAR[0] >= _CLEAR_EVERY:
+        _TESTS_SINCE_CLEAR[0] = 0
+        jax.clear_caches()

@@ -166,3 +166,51 @@ def test_radix_divide_by_zero(toy_keys):
     q, r = radix.radix_divide(ck, xa, xb)
     np.testing.assert_array_equal(np.asarray(radix.decrypt_radix(sk, q)), [255])
     np.testing.assert_array_equal(np.asarray(radix.decrypt_radix(sk, r)), [42])
+
+
+def test_radix_bitwise(toy_keys):
+    sk, ck = toy_keys
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, 10).astype(np.int32)
+    b = rng.integers(0, 256, 10).astype(np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(61), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(62), sk, jnp.asarray(b), 8)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, radix.radix_and(ck, xa, xb))),
+        a & b)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, radix.radix_or(ck, xa, xb))),
+        a | b)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, radix.radix_xor(ck, xa, xb))),
+        a ^ b)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, radix.radix_not(xa))),
+        (~a) & 255)
+
+
+def test_radix_bitwise_chains(toy_keys):
+    """Bitwise outputs (sqrt(2) x fresh noise) still feed the add chain."""
+    sk, ck = toy_keys
+    a = np.asarray([0b10110100, 0b01011011], np.int32)
+    b = np.asarray([0b11001010, 0b00111100], np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(63), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(64), sk, jnp.asarray(b), 8)
+    got = radix.radix_add(ck, radix.radix_xor(ck, xa, xb),
+                          radix.radix_and(ck, xa, xb))
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, got)),
+        ((a ^ b) + (a & b)) % 256)
+
+
+@pytest.mark.parametrize("k", [0, 1, 2, 3, 5, 8])
+def test_radix_shifts(toy_keys, k):
+    sk, ck = toy_keys
+    vals = np.asarray([0b11011001, 0b00100111, 255, 1], np.int32)
+    ct = radix.encrypt_radix(jax.random.PRNGKey(65), sk, jnp.asarray(vals), 8)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, radix.radix_shift_left(ck, ct, k))),
+        (vals << k) % 256)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, radix.radix_shift_right(ck, ct, k))),
+        vals >> k)

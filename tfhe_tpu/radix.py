@@ -435,3 +435,129 @@ def radix_eq(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
                 ck.bootstrap_key, ck.keyswitch_key, is_all, total, SPACE))
         flag_list = next_flags
     return flag_list[0]
+
+
+# --- Bitwise logic and plaintext shifts on radix words -----------------------
+#
+# Bitwise ops are digit-local (no carry chain), so EVERY digit of the word
+# rides one batched PBS: stage 1 extracts b's two bits scaled into the
+# selector position (4*bit, the _scaled_flag trick), stage 2 evaluates the
+# 1-bit x 2-bit bivariate LUT t = a + 4*bit_b for the lo and hi output bits
+# together. Cost: 2 stacked PBS calls per word = 2 blind rotations per bit,
+# staying in radix form (converting to bit encoding and back would cost a
+# full add chain each way). Outputs are sums of two bootstrap-fresh
+# samples (sqrt(2) x fresh sigma) — still inside every chain margin here
+# (see the module docstring's budget; asserted in tests/test_radix.py).
+
+
+def _dup2(x: LweSample) -> LweSample:
+    """Stack two copies on a new trailing batch axis: [..., 2]."""
+    return LweSample(
+        jnp.stack([x.a, x.a], axis=-2),
+        jnp.stack([x.b, x.b], axis=-1),
+        jnp.stack([x.cv, x.cv], axis=-1),
+    )
+
+
+_EXTRACT_BITS4 = [
+    [4 * ((v % DIGIT_BASE) & 1) for v in range(SPACE)],   # 4 * lo bit
+    [4 * ((v % DIGIT_BASE) >> 1) for v in range(SPACE)],  # 4 * hi bit
+]
+
+
+def _bitwise(ck: CloudKey, a: LweSample, b: LweSample, op) -> LweSample:
+    """Digit-wise bitwise combination out = op(a, b) bit by bit."""
+    extract = jnp.asarray(_EXTRACT_BITS4, jnp.int32)  # [2, S]
+    # t = a_digit + 4*b_bit in [0, 8): t%4 recovers a, t//4 the b bit.
+    lo_tbl = [int(op((t % DIGIT_BASE) & 1, t // DIGIT_BASE)) for t in range(SPACE)]
+    hi_tbl = [2 * int(op((t % DIGIT_BASE) >> 1, t // DIGIT_BASE))
+              for t in range(SPACE)]
+    combine = jnp.asarray([lo_tbl, hi_tbl], jnp.int32)  # [2, S]
+    sel = programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, extract, _dup2(b), SPACE)
+    res = programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, combine, _dup2(a) + sel, SPACE)
+    lo = LweSample(res.a[..., 0, :], res.b[..., 0], res.cv[..., 0])
+    hi = LweSample(res.a[..., 1, :], res.b[..., 1], res.cv[..., 1])
+    return lo + hi
+
+
+def radix_and(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """Bitwise a & b over radix words."""
+    return _bitwise(ck, a, b, lambda x, y: x & y)
+
+
+def radix_or(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """Bitwise a | b over radix words."""
+    return _bitwise(ck, a, b, lambda x, y: x | y)
+
+
+def radix_xor(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """Bitwise a ^ b over radix words."""
+    return _bitwise(ck, a, b, lambda x, y: x ^ y)
+
+
+def radix_not(b: LweSample) -> LweSample:
+    """Bitwise complement: 3 - digit flips both bits — exact affine, free."""
+    return _complement(b)
+
+
+def _shift_digits(a: LweSample, ds: int) -> LweSample:
+    """Shift whole digits (left for ds > 0), zero-filling: free relabeling."""
+    d = a.b.shape[-1]
+    zero = _trivial_digit(0, _digit(a, 0))
+    if ds >= 0:
+        src = [zero] * min(ds, d) + [_digit(a, i) for i in range(d - ds)]
+    else:
+        src = [_digit(a, i) for i in range(-ds, d)] + [zero] * min(-ds, d)
+    return _stack_digits(src[:d])
+
+
+def radix_shift_left(ck: CloudKey, a: LweSample, k: int) -> LweSample:
+    """Logical left shift by plaintext k bits (mod 4^d).
+
+    Even shifts are free digit relabeling; an odd shift adds one
+    bit-carry pass: out_i = 2*(a_i & 1) + hi(a_{i-1}) via the same
+    extract + bivariate-combine PBS pair as the bitwise ops.
+    """
+    assert k >= 0
+    d = a.b.shape[-1]
+    a = _shift_digits(a, k // BITS_PER_DIGIT)
+    if k % BITS_PER_DIGIT == 0 or k >= d * BITS_PER_DIGIT:
+        return a
+    extract = jnp.asarray([_EXTRACT_BITS4[1]], jnp.int32)  # [1, S]: 4*hi
+    h = programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, extract,
+        LweSample(a.a[..., None, :], a.b[..., None], a.cv[..., None]),
+        SPACE)
+    h = LweSample(h.a[..., 0, :], h.b[..., 0], h.cv[..., 0])
+    h_prev = _shift_digits(h, 1)  # hi bit of the digit below (0 into digit 0)
+    combine = jnp.asarray(
+        [2 * ((t % DIGIT_BASE) & 1) + t // DIGIT_BASE for t in range(SPACE)],
+        jnp.int32)
+    return programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, combine, a + h_prev, SPACE)
+
+
+def radix_shift_right(ck: CloudKey, a: LweSample, k: int) -> LweSample:
+    """Logical right shift by plaintext k bits (zero fill).
+
+    Mirror of the left shift: out_i = (a_i >> 1) + 2*lo(a_{i+1}).
+    """
+    assert k >= 0
+    d = a.b.shape[-1]
+    a = _shift_digits(a, -(k // BITS_PER_DIGIT))
+    if k % BITS_PER_DIGIT == 0 or k >= d * BITS_PER_DIGIT:
+        return a
+    extract = jnp.asarray([_EXTRACT_BITS4[0]], jnp.int32)  # [1, S]: 4*lo
+    lo = programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, extract,
+        LweSample(a.a[..., None, :], a.b[..., None], a.cv[..., None]),
+        SPACE)
+    lo = LweSample(lo.a[..., 0, :], lo.b[..., 0], lo.cv[..., 0])
+    lo_next = _shift_digits(lo, -1)  # lo bit of the digit above (0 into top)
+    combine = jnp.asarray(
+        [((t % DIGIT_BASE) >> 1) + 2 * (t // DIGIT_BASE) for t in range(SPACE)],
+        jnp.int32)
+    return programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, combine, a + lo_next, SPACE)
