@@ -7,6 +7,7 @@ import pytest
 
 import tfhe_tpu as tt
 from tfhe_tpu import radix
+from tfhe_tpu.lwe import LweSample
 
 
 @pytest.fixture(scope="module")
@@ -214,3 +215,70 @@ def test_radix_shifts(toy_keys, k):
     np.testing.assert_array_equal(
         np.asarray(radix.decrypt_radix(sk, radix.radix_shift_right(ck, ct, k))),
         vals >> k)
+
+
+def test_radix_signed_roundtrip(toy_keys):
+    sk, _ = toy_keys
+    vals = jnp.asarray([-128, -1, 0, 1, 127, -77], jnp.int32)
+    ct = radix.encrypt_radix_signed(jax.random.PRNGKey(70), sk, vals, 8)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix_signed(sk, ct)), np.asarray(vals))
+
+
+def test_radix_signed_arith_shared_with_unsigned(toy_keys):
+    """add/sub are sign-agnostic mod 2^bits: signed views decode right."""
+    sk, ck = toy_keys
+    a = np.asarray([-100, 57, -3], np.int32)
+    b = np.asarray([49, -90, -4], np.int32)
+    xa = radix.encrypt_radix_signed(jax.random.PRNGKey(71), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix_signed(jax.random.PRNGKey(72), sk, jnp.asarray(b), 8)
+    got = radix.decrypt_radix_signed(sk, radix.radix_add(ck, xa, xb))
+    want = ((a + b + 128) % 256 - 128).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(got), want)
+    got = radix.decrypt_radix_signed(sk, radix.radix_sub(ck, xa, xb))
+    want = ((a - b + 128) % 256 - 128).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_radix_signed_compare_minmax(toy_keys):
+    sk, ck = toy_keys
+    a = np.asarray([-100, 57, -3, 5], np.int32)
+    b = np.asarray([49, -90, -4, 5], np.int32)
+    xa = radix.encrypt_radix_signed(jax.random.PRNGKey(73), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix_signed(jax.random.PRNGKey(74), sk, jnp.asarray(b), 8)
+    geq = radix.radix_geq_signed(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, LweSample(
+            geq.a[..., None, :], geq.b[..., None], geq.cv[..., None]))),
+        (a >= b).astype(np.uint32))
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix_signed(
+            sk, radix.radix_min_signed(ck, xa, xb))), np.minimum(a, b))
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix_signed(
+            sk, radix.radix_max_signed(ck, xa, xb))), np.maximum(a, b))
+
+
+def test_radix_neg_abs(toy_keys):
+    sk, ck = toy_keys
+    vals = np.asarray([-128, -77, -1, 0, 1, 100], np.int32)
+    ct = radix.encrypt_radix_signed(jax.random.PRNGKey(75), sk,
+                                    jnp.asarray(vals), 8)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix_signed(sk, radix.radix_neg(ck, ct))),
+        ((-vals + 128) % 256 - 128).astype(np.int32))
+    want_abs = np.abs(vals).astype(np.int32)
+    want_abs[vals == -128] = -128  # hardware two's-complement edge
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix_signed(sk, radix.radix_abs(ck, ct))),
+        want_abs)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 7])
+def test_radix_shift_right_arith(toy_keys, k):
+    sk, ck = toy_keys
+    vals = np.asarray([-128, -37, -1, 0, 1, 100], np.int32)
+    ct = radix.encrypt_radix_signed(jax.random.PRNGKey(76), sk,
+                                    jnp.asarray(vals), 8)
+    got = radix.decrypt_radix_signed(sk, radix.radix_shift_right_arith(ck, ct, k))
+    np.testing.assert_array_equal(np.asarray(got), vals >> k)

@@ -561,3 +561,110 @@ def radix_shift_right(ck: CloudKey, a: LweSample, k: int) -> LweSample:
         jnp.int32)
     return programmable_bootstrap(
         ck.bootstrap_key, ck.keyswitch_key, combine, a + lo_next, SPACE)
+
+
+# --- Signed (two's complement) views ------------------------------------
+#
+# Radix words are residues mod 4^d, so add/sub/mul/eq and the bitwise ops
+# are sign-agnostic; the signed view only changes encoding at the client
+# edge (sign extension) and the ORDER operations: comparison goes through
+# the offset-binary map x -> x + 2^(bits-1) (top digit + 2 mod 4, one LUT
+# on one digit), after which unsigned machinery applies verbatim.
+
+
+def encrypt_radix_signed(rng, key: SecretKey, values, bits: int) -> LweSample:
+    """Encrypt signed int[...] in [-2^(bits-1), 2^(bits-1)) (two's
+    complement mod 4^d — the same ciphertext layout as unsigned words)."""
+    return encrypt_radix(rng, key,
+                         jnp.asarray(values, jnp.int32).astype(jnp.uint32),
+                         bits)
+
+
+def decrypt_radix_signed(key: SecretKey, word: LweSample):
+    """Decrypt a radix word batch to signed int32[...] (sign-extended)."""
+    u = decrypt_radix(key, word).astype(jnp.int64)
+    bits = word.b.shape[-1] * BITS_PER_DIGIT
+    half = jnp.int64(1) << (bits - 1)
+    return jnp.where(u >= half, u - (half << 1), u).astype(jnp.int32)
+
+
+def _flip_top(ck: CloudKey, a: LweSample) -> LweSample:
+    """Offset-binary map: top digit -> (digit + 2) mod 4, one LUT rotation."""
+    d = a.b.shape[-1]
+    lut = jnp.asarray([(t % DIGIT_BASE + 2) % DIGIT_BASE for t in range(SPACE)],
+                      jnp.int32)
+    top = programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, lut, _digit(a, d - 1), SPACE)
+    return _stack_digits([_digit(a, i) for i in range(d - 1)] + [top])
+
+
+def radix_geq_signed(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """Encrypted signed [a >= b]: unsigned compare after offset-binary."""
+    return radix_geq(ck, _flip_top(ck, a), _flip_top(ck, b))
+
+
+def radix_min_signed(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """Encrypted signed minimum."""
+    flag4 = _scaled_flag(ck, radix_geq_signed(ck, a, b))
+    return radix_select(ck, flag4, b, a)
+
+
+def radix_max_signed(ck: CloudKey, a: LweSample, b: LweSample) -> LweSample:
+    """Encrypted signed maximum."""
+    flag4 = _scaled_flag(ck, radix_geq_signed(ck, a, b))
+    return radix_select(ck, flag4, a, b)
+
+
+def radix_neg(ck: CloudKey, a: LweSample) -> LweSample:
+    """Two's-complement negation: 0 - a through the borrow-free chain."""
+    d = a.b.shape[-1]
+    zero = _stack_digits([_trivial_digit(0, _digit(a, 0))] * d)
+    return _add_chain(ck, zero, _complement(a),
+                      _trivial_digit(1, _digit(a, 0)))[0]
+
+
+def _sign_flag4(ck: CloudKey, a: LweSample) -> LweSample:
+    """{0,4}-encoded sign bit (hi bit of the top digit), one LUT rotation."""
+    d = a.b.shape[-1]
+    lut = jnp.asarray(_BIT_FLAG_TABLES[1], jnp.int32)
+    return programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, lut, _digit(a, d - 1), SPACE)
+
+
+def radix_abs(ck: CloudKey, a: LweSample) -> LweSample:
+    """|a| (two's complement; -2^(bits-1) maps to itself, as in hardware)."""
+    return radix_select(ck, _sign_flag4(ck, a), radix_neg(ck, a), a)
+
+
+def radix_shift_right_arith(ck: CloudKey, a: LweSample, k: int) -> LweSample:
+    """Arithmetic right shift by plaintext k bits (sign fill)."""
+    assert k >= 0
+    if k == 0:
+        return a
+    d = a.b.shape[-1]
+    s4 = _sign_flag4(ck, a)
+    fill_lut = jnp.asarray(
+        [DIGIT_BASE - 1 if u >= DIGIT_BASE else 0 for u in range(SPACE)],
+        jnp.int32)  # sign ? 0b11 : 0b00
+    fill = programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, fill_lut, s4, SPACE)
+    ds, r = divmod(k, BITS_PER_DIGIT)
+    if k >= d * BITS_PER_DIGIT:
+        return _stack_digits([fill] * d)
+    a = _stack_digits(
+        [_digit(a, i) for i in range(ds, d)] + [fill] * min(ds, d))
+    if r == 0:
+        return a
+    extract = jnp.asarray([_EXTRACT_BITS4[0]], jnp.int32)
+    lo = programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, extract,
+        LweSample(a.a[..., None, :], a.b[..., None], a.cv[..., None]),
+        SPACE)
+    lo = LweSample(lo.a[..., 0, :], lo.b[..., 0], lo.cv[..., 0])
+    # incoming lo bit for the top digit is the sign itself ({0,4} = 4*bit)
+    lo_next = _stack_digits([_digit(lo, i) for i in range(1, d)] + [s4])
+    combine = jnp.asarray(
+        [((t % DIGIT_BASE) >> 1) + 2 * (t // DIGIT_BASE) for t in range(SPACE)],
+        jnp.int32)
+    return programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, combine, a + lo_next, SPACE)
