@@ -219,3 +219,29 @@ def test_seeded_mk_ceremony_bit_identical():
     out = mk.mk_gate_nand(ck, ct_x, ct_y)
     np.testing.assert_array_equal(
         np.asarray(mk.mk_decrypt(sks, out)), [True, False])
+
+
+@pytest.mark.parametrize("bits", [8, 16])
+def test_modswitch_compression_roundtrip(toy_sk, bits):
+    """Gate-style ciphertexts survive modulus-switch compression: the
+    rounding noise is far inside the decryption margin, the artifact
+    really shrinks, and the honest cv grows by the model amount."""
+    sk = toy_sk
+    msgs = jnp.asarray([True, False] * 32)
+    ct = tt.encrypt(jax.random.PRNGKey(90), sk, msgs)
+    c = compressed.compress_lwe(ct, bits)
+    back = compressed.decompress_lwe(
+        serialization.loads(serialization.dumps(c)))
+    np.testing.assert_array_equal(
+        np.asarray(tt.decrypt(sk, back)), np.asarray(msgs))
+    full_bytes = len(serialization.dumps(ct))
+    small_bytes = len(serialization.dumps(c))
+    assert small_bytes < full_bytes * (bits / 32) * 1.3 + 2000
+    assert float(np.asarray(c.cv)[0]) > float(np.asarray(ct.cv)[0])
+
+
+def test_modswitch_32bit_identity(toy_sk):
+    ct = tt.encrypt(jax.random.PRNGKey(91), toy_sk, jnp.asarray([True]))
+    back = compressed.decompress_lwe(compressed.compress_lwe(ct, 32))
+    np.testing.assert_array_equal(np.asarray(back.a), np.asarray(ct.a))
+    np.testing.assert_array_equal(np.asarray(back.b), np.asarray(ct.b))

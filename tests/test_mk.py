@@ -381,3 +381,40 @@ def test_mk_full_gate_set_truth_tables():
     ct_z = mk.mk_gate_not(ck, ct_y)
     got = np.asarray(mk.mk_decrypt(sks, mk.mk_gate_mux(ck, ct_x, ct_y, ct_z)))
     np.testing.assert_array_equal(got, np.where(xn, yn, ~yn))
+
+
+def test_mk_distributed_decryption():
+    """Each party publishes only a smudged share; combining the shares
+    decrypts without any secret key leaving its party — and a fresh MK
+    NAND output decrypts the same way (the margin survives smudging)."""
+    parties = 2
+    params = mk.mktfhe_parameters_toy(max_parties=parties)
+    rng = jax.random.PRNGKey(77)
+    r_shared, r_enc, *r_parties = jax.random.split(rng, 2 + parties)
+    shared = mk.make_shared_key(r_shared, params)
+    sks, parts = [], []
+    for p in range(parties):
+        r_sk, r_part = jax.random.split(r_parties[p])
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(r_part, sk, shared))
+    ck = mk.make_mk_cloud_key(parts)
+
+    xs = jnp.asarray([False, False, True, True], bool)
+    ys = jnp.asarray([False, True, False, True], bool)
+    r1, r2 = jax.random.split(r_enc)
+    ct_x = mk.mk_encrypt(r1, sks, xs)
+    ct_y = mk.mk_encrypt(r2, sks, ys)
+    out = mk.mk_gate_nand(ck, ct_x, ct_y)
+
+    for ct, want in ((ct_x, xs), (out, ~(xs & ys))):
+        shares = [
+            mk.mk_partial_decrypt(jax.random.PRNGKey(100 + p), sks[p], ct, p)
+            for p in range(parties)
+        ]
+        np.testing.assert_array_equal(
+            np.asarray(mk.mk_combine_shares(ct, shares)), np.asarray(want))
+        # sanity: matches the all-keys joint decryption
+        np.testing.assert_array_equal(
+            np.asarray(mk.mk_combine_shares(ct, shares)),
+            np.asarray(mk.mk_decrypt(sks, ct)))

@@ -430,3 +430,73 @@ def expand_cloud_key_part(part: SeededCloudKeyPart):
         params, part.public_key, MKTGswUESample(cd),
         expand_keyswitch_key(part.keyswitch_key),
     )
+
+
+# ---------------------------------------------------------------------------
+# Post-compute ciphertext compression (modulus switching)
+# ---------------------------------------------------------------------------
+#
+# Seeding only works for FRESH encryptions; results coming back from the
+# server have computed masks. Those compress by modulus switching: round
+# every torus word to the top `bits` bits (the same round-to-nearest the
+# bootstrap's 2N-switch uses, reference: src/bootstrap.jl:74-75 via
+# decode_message) and ship small integers. Rounding adds uniform noise of
+# width 2^-bits per word; across the phase that is
+# var ~= (1 + n/4) * 2^(-2*bits) / 12 (binary key, n/2 live terms of
+# variance u^2/3... folded into the honest cv so telemetry stays truthful).
+# 16 bits halves the result wire at ~7e-5 sigma — negligible against the
+# 1/16 gate margin; 8 bits quarters it and stays inside the margin for
+# final results that only face decryption.
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["a", "b", "cv"],
+    meta_fields=["bits"],
+)
+@dataclasses.dataclass(frozen=True)
+class CompressedLweSample:
+    """Modulus-switched LWE batch: words hold the top `bits` bits.
+
+    a: [..., n], b: [...] hold values in [-2^(bits-1), 2^(bits-1)) at the
+    narrowest integer dtype that fits (int8/int16/int32), so the
+    serialized artifact really is `bits/32` of the full ciphertext.
+    """
+
+    a: jax.Array
+    b: jax.Array
+    cv: jax.Array
+    bits: int
+
+
+def _narrow_dtype(bits: int):
+    return jnp.int8 if bits <= 8 else jnp.int16 if bits <= 16 else jnp.int32
+
+
+def compress_lwe(sample: LweSample, bits: int = 16) -> CompressedLweSample:
+    """Round a ciphertext batch to `bits`-bit torus words."""
+    assert 1 < bits <= 32
+    from .numeric import decode_message
+
+    if bits == 32:
+        return CompressedLweSample(sample.a, sample.b, sample.cv, bits)
+    space = 1 << bits  # decode_message keeps log2(space) = bits top bits
+    dt = _narrow_dtype(bits)
+    a = decode_message(sample.a, space).astype(dt)
+    b = decode_message(sample.b, space).astype(dt)
+    n = sample.a.shape[-1]
+    round_var = (1.0 + n / 4.0) * float(2.0 ** (-2 * bits)) / 12.0
+    cv = sample.cv + jnp.float32(round_var)
+    return CompressedLweSample(a, b, cv, bits)
+
+
+def decompress_lwe(c: CompressedLweSample) -> LweSample:
+    """Back to full torus words (top bits, zeros below)."""
+    if c.bits == 32:
+        return LweSample(c.a, c.b, c.cv)
+    shift = 32 - c.bits
+    return LweSample(
+        (jnp.asarray(c.a, jnp.int32) << shift),
+        (jnp.asarray(c.b, jnp.int32) << shift),
+        c.cv,
+    )

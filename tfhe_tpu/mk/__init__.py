@@ -15,6 +15,8 @@ from .api import (
     make_mk_cloud_key,
     mk_encrypt,
     mk_decrypt,
+    mk_partial_decrypt,
+    mk_combine_shares,
     mktfhe_parameters_2party,
     mktfhe_parameters_4party,
     mktfhe_parameters_8party,

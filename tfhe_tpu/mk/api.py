@@ -205,3 +205,36 @@ def mk_decrypt(secret_keys, sample: MKLweSample) -> jax.Array:
     """Joint decryption: sign of the joined phase. Reference: src/mk_api.jl:135-138."""
     keys = jnp.stack([sk.key for sk in secret_keys])
     return mk_lwe_phase(sample, keys) > 0
+
+
+def mk_partial_decrypt(rng, secret_key: SecretKey, sample: MKLweSample,
+                       party: int, smudging_stddev: float | None = None):
+    """One party's decryption share: <a_party, s_party> + smudging noise.
+
+    Distributed decryption removes the reference's all-keys-in-one-place
+    limitation (its own TODO, reference issue #6 at src/mk_api.jl:110):
+    each party publishes only this share, and `mk_combine_shares` finishes
+    the decryption without any secret key. The smudging noise statistically
+    hides s_party's contribution beyond the plaintext; its stddev must be
+    calibrated to the deployment's security target (the default reuses the
+    fresh-encryption sigma, which keeps correctness untouched — callers
+    wanting stronger share-hiding pass a larger value and re-check the
+    noise budget in docs/mk_noise_budget.md).
+    """
+    if smudging_stddev is None:
+        smudging_stddev = secret_key.params.lwe_noise_stddev
+    dot = jnp.sum(
+        sample.a[..., party, :] * secret_key.key, axis=-1, dtype=jnp.int32
+    )
+    smudge = dtot32(
+        jax.random.normal(rng, dot.shape, jnp.float32)
+        * jnp.float32(smudging_stddev)
+    )
+    return dot + smudge
+
+
+def mk_combine_shares(sample: MKLweSample, shares) -> jax.Array:
+    """Finish a distributed decryption from every party's share (no keys):
+    sign of b - sum_i share_i."""
+    total = jnp.sum(jnp.stack(list(shares)), axis=0)
+    return (sample.b - total) > 0

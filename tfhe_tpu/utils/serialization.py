@@ -42,6 +42,7 @@ def _type_table():
         "SeededCloudKey": compressed.SeededCloudKey,
         "SeededSharedKey": compressed.SeededSharedKey,
         "SeededCloudKeyPart": compressed.SeededCloudKeyPart,
+        "CompressedLweSample": compressed.CompressedLweSample,
         "LwePublicKey": public.LwePublicKey,
         "SeededLwePublicKey": public.SeededLwePublicKey,
         "SecretKey": api.SecretKey,
