@@ -73,6 +73,7 @@ from . import polynomial
 from . import circuits
 from . import compressed
 from . import public
+from . import rekey
 from . import pbs
 from . import radix
 from . import mk
