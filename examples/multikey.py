@@ -59,6 +59,17 @@ def main():
     assert (out == want).all()
     print("all trials correct")
 
+    # Distributed decryption: no secret key ever leaves its party — each
+    # publishes one smudged share and anyone combines them.
+    shares = [
+        mk.mk_partial_decrypt(jax.random.PRNGKey(900 + p),
+                              secret_keys[p], enc_out, p)
+        for p in range(parties)
+    ]
+    dist = np.asarray(mk.mk_combine_shares(enc_out, shares))
+    assert (dist == want).all()
+    print("distributed decryption matches")
+
 
 if __name__ == "__main__":
     main()
