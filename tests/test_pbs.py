@@ -79,3 +79,55 @@ def test_mk_pbs_lut():
         mck.bootstrap_key, mck.keyswitch_keys, jnp.asarray(lut), x, S)
     np.testing.assert_array_equal(
         np.asarray(pbs.mk_decrypt_pbs(sks, y, S)), lut[msgs])
+
+
+@pytest.mark.parametrize("q", [2, 4])
+def test_many_lut(toy_keys, q):
+    """q LUT outputs from ONE blind rotation (PBSmanyLUT) match plain
+    table lookups, including per-sample tables."""
+    sk, ck = toy_keys
+    S = 8
+    rng = np.random.default_rng(q)
+    msgs = jnp.asarray(rng.integers(0, S, 12).astype(np.int32))
+    tables = rng.integers(0, S, (q, S)).astype(np.int32)
+    ct = pbs.encrypt_pbs(jax.random.PRNGKey(5), sk, msgs, S)
+    out = pbs.programmable_bootstrap_many(
+        ck.bootstrap_key, ck.keyswitch_key, jnp.asarray(tables), ct, S, q)
+    got = np.asarray(pbs.decrypt_pbs(sk, out, S))  # [12, q]
+    want = np.stack([tables[r][np.asarray(msgs)] for r in range(q)], axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_many_lut_per_sample_tables(toy_keys):
+    sk, ck = toy_keys
+    S, q, B = 8, 2, 6
+    rng = np.random.default_rng(9)
+    msgs = jnp.asarray(rng.integers(0, S, B).astype(np.int32))
+    tables = rng.integers(0, S, (B, q, S)).astype(np.int32)
+    ct = pbs.encrypt_pbs(jax.random.PRNGKey(6), sk, msgs, S)
+    out = pbs.programmable_bootstrap_many(
+        ck.bootstrap_key, ck.keyswitch_key, jnp.asarray(tables), ct, S, q)
+    got = np.asarray(pbs.decrypt_pbs(sk, out, S))
+    m = np.asarray(msgs)
+    want = np.stack([tables[np.arange(B), r, m] for r in range(q)], axis=-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_many_lut_chains(toy_keys):
+    """Many-LUT outputs carry the PBS encoding: they feed another PBS."""
+    sk, ck = toy_keys
+    S = 8
+    msgs = jnp.asarray([0, 3, 5, 7], jnp.int32)
+    t0 = np.arange(S)[::-1].copy()  # reverse
+    t1 = (np.arange(S) + 1) % S    # increment
+    ct = pbs.encrypt_pbs(jax.random.PRNGKey(7), sk, msgs, S)
+    out = pbs.programmable_bootstrap_many(
+        ck.bootstrap_key, ck.keyswitch_key,
+        jnp.asarray(np.stack([t0, t1])), ct, S, 2)
+    first = tt.lwe.LweSample(out.a[..., 0, :], out.b[..., 0], out.cv[..., 0])
+    dbl = np.minimum(np.arange(S) * 2, S - 1)
+    out2 = pbs.programmable_bootstrap(
+        ck.bootstrap_key, ck.keyswitch_key, jnp.asarray(dbl), first, S)
+    np.testing.assert_array_equal(
+        np.asarray(pbs.decrypt_pbs(sk, out2, S)),
+        dbl[t0[np.asarray(msgs)]])

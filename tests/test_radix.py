@@ -282,3 +282,20 @@ def test_radix_shift_right_arith(toy_keys, k):
                                     jnp.asarray(vals), 8)
     got = radix.decrypt_radix_signed(sk, radix.radix_shift_right_arith(ck, ct, k))
     np.testing.assert_array_equal(np.asarray(got), vals >> k)
+
+
+def test_radix_add_manylut_vs_stacked(toy_keys, monkeypatch):
+    """The many-LUT carry chain and the stacked two-rotation chain agree
+    at the decrypt level (they differ only in modulus-switch granularity)."""
+    sk, ck = toy_keys
+    a = np.asarray([201, 255, 17], np.int32)
+    b = np.asarray([56, 1, 239], np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(80), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(81), sk, jnp.asarray(b), 8)
+    fast = radix.radix_add(ck, xa, xb)
+    monkeypatch.setenv("TFHE_TPU_RADIX_MANYLUT", "0")
+    slow = radix.radix_add(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, fast)), (a + b) % 256)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, slow)), (a + b) % 256)

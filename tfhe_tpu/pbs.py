@@ -109,6 +109,89 @@ def programmable_bootstrap(bk: BootstrapKey, ks: KeyswitchKey, table,
         bk, table, x, space))
 
 
+# --- Many-LUT: q tables per blind rotation (PBSmanyLUT) ---
+#
+# The blind rotation lands the accumulator at v * X^(-p) with
+# p = m*w + w/2 + e; the single-LUT path only ever reads coefficient 0.
+# Rounding the modulus switch to multiples of q (one coarser switch: the
+# 2N/q grid) pins p = w/2 (mod q), so coefficients 0..q-1 of the SAME
+# rotated polynomial stably address q interleaved tables:
+# v[m*w + r] = T_{r mod q}[m]. One rotation then yields q LUT outputs —
+# extraction at coefficient r is an exact monomial shift, not a rotation.
+# Price: the mod-switch rounding error grows by q (in torus units
+# q*sqrt(n/48)/2N ~ 0.0035 at q=2, 128-bit preset — small against the
+# fresh-sample phase noise that dominates the window margin).
+# Technique: Chillotti-Ligier-Orfila-Tap, "Improved Programmable
+# Bootstrapping..." (the PBSmanyLUT of modern integer-FHE stacks).
+
+
+def lut_many_test_polynomial(tables, space: int, q: int,
+                             polynomial_degree: int):
+    """tables int[..., q, S] -> v[..., N] with v[m*w + r] = enc(T_{r%q}[m])."""
+    tables = jnp.asarray(tables, jnp.int32)
+    assert tables.shape[-2] == q and tables.shape[-1] == space
+    w = polynomial_degree // space
+    assert w * space == polynomial_degree and w % q == 0
+    enc = encode_pbs(tables, space)  # [..., q, S]
+    cols = enc[..., jnp.arange(w) % q, :]  # [..., w, S]
+    v = jnp.moveaxis(cols, -2, -1)  # [..., S, w]
+    return v.reshape(v.shape[:-2] + (space * w,))
+
+
+def programmable_bootstrap_many_wo_keyswitch(bk: BootstrapKey, tables,
+                                             x: LweSample, space: int,
+                                             q: int) -> LweSample:
+    """q LUT evaluations per sample from ONE blind rotation.
+
+    tables: int[..., q, S] (leading dims broadcast against x's batch);
+    returns samples with batch shape x.batch + (q,) in the extracted
+    (N*k)-dim space, entry r holding tables[r][m].
+    """
+    from . import polynomial
+    from .bootstrap import blind_rotate
+    from .tlwe import (tlwe_extract_sample, tlwe_mul_by_monomial,
+                       tlwe_noiseless_trivial)
+
+    p_degree = bk.polynomial_degree
+    w = p_degree // space
+    assert q >= 1 and (q & (q - 1)) == 0 and (w // 2) % q == 0, (q, w)
+    batch_shape = x.b.shape
+    flat = LweSample(
+        x.a.reshape((-1, x.a.shape[-1])), x.b.reshape(-1), x.cv.reshape(-1)
+    )
+    grid = (p_degree * 2) // q
+    bara = decode_message(flat.a, grid) * jnp.int32(q)
+    barb = decode_message(flat.b, grid) * jnp.int32(q) + jnp.int32(w // 2)
+    testvect = jnp.broadcast_to(
+        lut_many_test_polynomial(tables, space, q, p_degree),
+        batch_shape + (p_degree,),
+    ).reshape((-1, p_degree))
+    accum = tlwe_noiseless_trivial(
+        polynomial.mul_by_monomial(testvect, -barb), bk.mask_size)
+    accum = blind_rotate(accum, bk, bara)
+    outs = []
+    for r in range(q):
+        rot = tlwe_mul_by_monomial(accum, jnp.int32(-r)) if r else accum
+        outs.append(tlwe_extract_sample(rot))
+    a = jnp.stack([o.a for o in outs], axis=-2)
+    b = jnp.stack([o.b for o in outs], axis=-1)
+    cv = jnp.stack([o.cv for o in outs], axis=-1)
+    return LweSample(
+        a.reshape(batch_shape + (q, a.shape[-1])),
+        b.reshape(batch_shape + (q,)),
+        cv.reshape(batch_shape + (q,)),
+    )
+
+
+def programmable_bootstrap_many(bk: BootstrapKey, ks: KeyswitchKey, tables,
+                                x: LweSample, space: int,
+                                q: int) -> LweSample:
+    """q LUT outputs per input sample, one blind rotation + one keyswitch
+    batch; result batch shape x.batch + (q,)."""
+    return keyswitch(ks, programmable_bootstrap_many_wo_keyswitch(
+        bk, tables, x, space, q))
+
+
 # --- Multi-key PBS: the MK bootstrap generalizes identically ---
 
 

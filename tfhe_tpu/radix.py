@@ -35,7 +35,24 @@ import jax.numpy as jnp
 
 from .api import CloudKey, SecretKey
 from .lwe import LweSample, lwe_noiseless_trivial
-from .pbs import decrypt_pbs, encode_pbs, encrypt_pbs, programmable_bootstrap
+from .pbs import (
+    decrypt_pbs,
+    encode_pbs,
+    encrypt_pbs,
+    programmable_bootstrap,
+    programmable_bootstrap_many,
+)
+
+
+def _use_many_lut() -> bool:
+    """Evaluate same-input LUT pairs with ONE blind rotation (PBSmanyLUT,
+    pbs.py) instead of a stacked two-rotation call — adds then cost HALF a
+    rotation per bit. Costs q=2 coarser modulus switching (~0.0035 of the
+    torus at the 128-bit preset, small against the input phase noise).
+    TFHE_TPU_RADIX_MANYLUT=0 reverts to the stacked path."""
+    import os
+
+    return os.environ.get("TFHE_TPU_RADIX_MANYLUT", "1") != "0"
 
 BITS_PER_DIGIT = 2
 DIGIT_BASE = 1 << BITS_PER_DIGIT  # 4
@@ -106,16 +123,21 @@ def _add_chain(ck: CloudKey, a: LweSample, b: LweSample,
     batch evaluating (s mod 4, s div 4). Returns (word, carry_out)."""
     d = a.b.shape[-1]
     tables = jnp.asarray(_SUM_CARRY_TABLES, jnp.int32)  # [2, S]
+    many = _use_many_lut()
     out = []
     for i in range(d):
         s = _digit(a, i) + _digit(b, i) + carry
-        pair = LweSample(
-            jnp.stack([s.a, s.a], axis=-2),
-            jnp.stack([s.b, s.b], axis=-1),
-            jnp.stack([s.cv, s.cv], axis=-1),
-        )
-        res = programmable_bootstrap(
-            ck.bootstrap_key, ck.keyswitch_key, tables, pair, SPACE)
+        if many:  # sum+carry from ONE rotation (PBSmanyLUT)
+            res = programmable_bootstrap_many(
+                ck.bootstrap_key, ck.keyswitch_key, tables, s, SPACE, 2)
+        else:
+            pair = LweSample(
+                jnp.stack([s.a, s.a], axis=-2),
+                jnp.stack([s.b, s.b], axis=-1),
+                jnp.stack([s.cv, s.cv], axis=-1),
+            )
+            res = programmable_bootstrap(
+                ck.bootstrap_key, ck.keyswitch_key, tables, pair, SPACE)
         out.append(LweSample(res.a[..., 0, :], res.b[..., 0], res.cv[..., 0]))
         carry = LweSample(res.a[..., 1, :], res.b[..., 1], res.cv[..., 1])
     return _stack_digits(out), carry
@@ -473,8 +495,12 @@ def _bitwise(ck: CloudKey, a: LweSample, b: LweSample, op) -> LweSample:
     hi_tbl = [2 * int(op((t % DIGIT_BASE) >> 1, t // DIGIT_BASE))
               for t in range(SPACE)]
     combine = jnp.asarray([lo_tbl, hi_tbl], jnp.int32)  # [2, S]
-    sel = programmable_bootstrap(
-        ck.bootstrap_key, ck.keyswitch_key, extract, _dup2(b), SPACE)
+    if _use_many_lut():  # both of b's bits from one rotation per digit
+        sel = programmable_bootstrap_many(
+            ck.bootstrap_key, ck.keyswitch_key, extract, b, SPACE, 2)
+    else:
+        sel = programmable_bootstrap(
+            ck.bootstrap_key, ck.keyswitch_key, extract, _dup2(b), SPACE)
     res = programmable_bootstrap(
         ck.bootstrap_key, ck.keyswitch_key, combine, _dup2(a) + sel, SPACE)
     lo = LweSample(res.a[..., 0, :], res.b[..., 0], res.cv[..., 0])
