@@ -131,3 +131,31 @@ def test_many_lut_chains(toy_keys):
     np.testing.assert_array_equal(
         np.asarray(pbs.decrypt_pbs(sk, out2, S)),
         dbl[t0[np.asarray(msgs)]])
+
+
+def test_mk_many_lut():
+    """MK PBSmanyLUT: q tables from one MK blind rotation (toy ceremony)."""
+    from tfhe_tpu import mk
+
+    parties, S, q = 2, 8, 2
+    params = mk.mktfhe_parameters_toy(max_parties=parties)
+    rng = jax.random.PRNGKey(55)
+    r_shared, r_enc, *r_parties = jax.random.split(rng, 2 + parties)
+    shared = mk.make_shared_key(r_shared, params)
+    sks, parts = [], []
+    for p in range(parties):
+        r_sk, r_part = jax.random.split(r_parties[p])
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(r_part, sk, shared))
+    ck = mk.make_mk_cloud_key(parts)
+
+    rng_np = np.random.default_rng(3)
+    msgs = jnp.asarray(rng_np.integers(0, S, 6).astype(np.int32))
+    tables = rng_np.integers(0, S, (q, S)).astype(np.int32)
+    ct = pbs.mk_encrypt_pbs(r_enc, sks, msgs, S)
+    out = pbs.mk_programmable_bootstrap_many(
+        ck.bootstrap_key, ck.keyswitch_keys, jnp.asarray(tables), ct, S, q)
+    got = np.asarray(pbs.mk_decrypt_pbs(sks, out, S))
+    want = np.stack([tables[r][np.asarray(msgs)] for r in range(q)], axis=-1)
+    np.testing.assert_array_equal(got, want)

@@ -241,3 +241,44 @@ def mk_programmable_bootstrap(bk, ks_keys, table, x, space: int,
     )
     u = mk_blind_rotate_and_extract(testvect, bk, barb, bara, segments)
     return mk_keyswitch(ks_keys, u)
+
+
+def mk_programmable_bootstrap_many(bk, ks_keys, tables, x, space: int,
+                                   q: int, segments: int = 1):
+    """Multi-key PBSmanyLUT: q LUT outputs per MK blind rotation.
+
+    Identical construction to `programmable_bootstrap_many` on the MK
+    rotation: 2N/q-grid modulus switch, interleaved test polynomial,
+    extraction at coefficients 0..q-1 (exact monomial shifts). Result
+    batch shape x.batch + (q,).
+    """
+    from . import polynomial
+    from .mk.internals import (mk_blind_rotate, mk_keyswitch,
+                               mk_tlwe_extract_sample,
+                               mk_tlwe_noiseless_trivial)
+    from .tlwe import TLweSample
+
+    p_degree = bk.polynomial_degree
+    w = p_degree // space
+    assert q >= 1 and (q & (q - 1)) == 0 and (w // 2) % q == 0, (q, w)
+    grid = (p_degree * 2) // q
+    bara = decode_message(x.a, grid) * jnp.int32(q)
+    barb = decode_message(x.b, grid) * jnp.int32(q) + jnp.int32(w // 2)
+    testvect = jnp.broadcast_to(
+        lut_many_test_polynomial(tables, space, q, p_degree),
+        x.b.shape + (p_degree,),
+    )
+    accum = mk_tlwe_noiseless_trivial(
+        polynomial.mul_by_monomial(testvect, -barb), bk.parties)
+    accum = mk_blind_rotate(accum, bk, bara, segments)
+    outs = []
+    for r in range(q):
+        rot = (TLweSample(polynomial.mul_by_monomial(
+            accum.a, jnp.int32(-r)), accum.cv) if r else accum)
+        outs.append(mk_keyswitch(ks_keys, mk_tlwe_extract_sample(rot)))
+    from .mk.internals import MKLweSample
+    return MKLweSample(
+        jnp.stack([o.a for o in outs], axis=-3),
+        jnp.stack([o.b for o in outs], axis=-1),
+        jnp.stack([o.cv for o in outs], axis=-1),
+    )
