@@ -10,7 +10,10 @@ own and disclaims performance, BASELINE.md). Uses REAL keys (jitted keygen)
 and checks decrypt-level correctness of the final batch on stderr.
 
 Env knobs: TFHE_TPU_BENCH_BATCH (default 4096 on TPU, 8 on CPU),
-TFHE_TPU_BENCH_ITERS (default 4), TFHE_TPU_BENCH_PARAMS (128|80|toy).
+TFHE_TPU_BENCH_ITERS (default 4), TFHE_TPU_BENCH_PARAMS
+(128fast|128|80|toy; default 128fast — the TPU-retuned preset with the
+SAME lattice instances/security as the reference's 128-bit preset,
+docs/params_fast.md).
 """
 
 from __future__ import annotations
@@ -66,9 +69,10 @@ def main():
     on_tpu = backend == "tpu"
     batch = int(os.environ.get("TFHE_TPU_BENCH_BATCH", "4096" if on_tpu else "8"))
     iters = int(os.environ.get("TFHE_TPU_BENCH_ITERS", "4"))
-    which = os.environ.get("TFHE_TPU_BENCH_PARAMS", "128")
+    which = os.environ.get("TFHE_TPU_BENCH_PARAMS", "128fast")
     params = {
         "128": tt.tfhe_parameters_128,
+        "128fast": tt.tfhe_parameters_128_fast,
         "80": tt.tfhe_parameters_80,
         "toy": tt.tfhe_parameters_toy,
     }[which]()
@@ -130,6 +134,9 @@ def main():
         "value": round(throughput, 1),
         "unit": "gates/s",
         "vs_baseline": round(throughput / 1e4, 4),
+        "params": which,
+        "correct": batch - n_bad,
+        "of": batch,
     }))
 
 

@@ -109,3 +109,34 @@ def test_mk_cv_predicts_measurement():
     measured = float(err.var())
     ratio = predicted / measured
     assert 1 / 4 < ratio < 4, (predicted, measured, ratio)
+
+
+def test_fast_preset_margins():
+    """`tfhe_parameters_128_fast` keeps >= 10 sigma on every boolean gate.
+
+    Pure-model regression guard for the TPU-retuned preset (derivation:
+    tools/derive_fast_params.py): a future parameter change that silently
+    erodes the decision margin fails here, not in a 1-in-1e38 decrypt flake.
+    """
+    import math
+
+    from tfhe_tpu.noise import blind_rotate_var, keyswitch_var
+
+    for params, floor in [
+        (tt.tfhe_parameters_128_fast(), 10.0),
+        (tt.tfhe_parameters_128(), 15.0),
+    ]:
+        v_out = blind_rotate_var(
+            params.lwe_size, params.tlwe_mask_size, params.bs_decomp_length,
+            params.bs_log2_base, params.tlwe_polynomial_degree,
+            params.bs_noise_stddev,
+        ) + keyswitch_var(
+            params.extracted_size, params.ks_decomp_length,
+            params.ks_log2_base, params.ks_noise_stddev,
+        )
+        two_n = 2 * params.tlwe_polynomial_degree
+        v_ms = (params.lwe_size * 0.5 + 1) * (1.0 / two_n) ** 2 / 12.0
+        # (margin, input amplitude): +-1/8-phase gates and XOR/XNOR (+-1/4, 2x)
+        for margin, amp in [(0.125, 1), (0.25, 2)]:
+            sigma = math.sqrt(2 * amp * amp * v_out + v_ms)
+            assert margin / sigma >= floor, (params, margin, margin / sigma)

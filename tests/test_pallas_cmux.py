@@ -78,18 +78,19 @@ def test_cmux_step_pallas_karatsuba_matches_xla(rng, n, l, b, t, batch, depth):
 
 
 @pytest.mark.parametrize(
-    "n,l,b,t,depth",
+    "n,l,b,t,depth,k1",
     [
-        (256, 3, 7, 32, 2),   # M=8, depth 2
-        (256, 3, 7, 32, 3),   # M=8, full depth
-        (256, 2, 10, 32, 2),  # 80-bit-style two-limb digits
+        (256, 3, 7, 32, 2, 2),   # M=8, depth 2
+        (256, 3, 7, 32, 3, 2),   # M=8, full depth
+        (256, 2, 10, 32, 2, 2),  # 80-bit-style two-limb digits
+        (128, 2, 8, 32, 2, 3),   # 128_fast shape family: k=2, M=4, b=8
     ],
 )
-def test_blind_rotate_megakernel_matches_xla(rng, n, l, b, t, depth):
+def test_blind_rotate_megakernel_matches_xla(rng, n, l, b, t, depth, k1):
     """Whole-rotation megakernel (interpret) == XLA Karatsuba scan, bitwise."""
     from tfhe_tpu.ops.pallas_cmux import blind_rotate_pallas_karatsuba
 
-    k1, n_lwe, batch = 2, 5, 4
+    n_lwe, batch = 5, 4
     gsw = rand_t32(rng, (n_lwe, l, k1, k1, n))
     bk = bs.bootstrap_key_from_raw(gsw, l, b, block=t, depth=depth)
     acc0 = rand_t32(rng, (batch, k1, n))
@@ -110,18 +111,19 @@ def test_blind_rotate_megakernel_matches_xla(rng, n, l, b, t, depth):
 
 
 @pytest.mark.parametrize(
-    "n,l,b,t,depth",
+    "n,l,b,t,depth,k1",
     [
-        (256, 3, 7, 32, 2),   # M=8, depth 2 (production shape)
-        (256, 2, 10, 32, 2),  # 80-bit-style two-limb digits
-        (256, 3, 7, 32, 3),   # full depth: 27 leaves, 3-slot ring
+        (256, 3, 7, 32, 2, 2),   # M=8, depth 2 (production shape)
+        (256, 2, 10, 32, 2, 2),  # 80-bit-style two-limb digits
+        (256, 3, 7, 32, 3, 2),   # full depth: 27 leaves, 3-slot ring
+        (128, 2, 8, 32, 2, 3),   # 128_fast shape family: k=2, M=4, b=8
     ],
 )
-def test_blind_rotate_pipelined_matches_xla(rng, n, l, b, t, depth):
+def test_blind_rotate_pipelined_matches_xla(rng, n, l, b, t, depth, k1):
     """Two-subtile pipelined megakernel (interpret) == XLA scan, bitwise."""
     from tfhe_tpu.ops.pallas_cmux import blind_rotate_pallas_pipelined
 
-    k1, n_lwe, batch = 2, 5, 8
+    n_lwe, batch = 5, 8
     gsw = rand_t32(rng, (n_lwe, l, k1, k1, n))
     bk = bs.bootstrap_key_from_raw(gsw, l, b, block=t, depth=depth)
     acc0 = rand_t32(rng, (batch, k1, n))

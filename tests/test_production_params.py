@@ -114,3 +114,36 @@ def test_radix_add_128():
     out = radix.radix_add(ck, xa, xb)
     np.testing.assert_array_equal(
         np.asarray(radix.decrypt_radix(sk, out)), (a + b) % 256)
+
+
+@pytest.fixture(scope="module")
+def keys128fast():
+    return tt.make_key_pair(
+        jax.random.PRNGKey(123), tt.tfhe_parameters_128_fast())
+
+
+def test_nand_truth_table_128_fast(keys128fast):
+    """The TPU-retuned 128-bit preset (k=2, N=512, l=2, b=8): same decrypt
+    contract as the reference preset (tools/derive_fast_params.py)."""
+    sk, ck = keys128fast
+    xs = jnp.asarray([False, False, True, True], bool)
+    ys = jnp.asarray([False, True, False, True], bool)
+    ct_x = tt.encrypt(jax.random.PRNGKey(1), sk, xs)
+    ct_y = tt.encrypt(jax.random.PRNGKey(2), sk, ys)
+    out = tt.decrypt(sk, gates.gate_nand(ck, ct_x, ct_y))
+    np.testing.assert_array_equal(np.asarray(out), [True, True, True, False])
+
+
+def test_xor_chain_128_fast(keys128fast):
+    """XOR (the widest noise amplification, 2x per input) chained through a
+    second gate at the fast preset — exercises the full gate contract
+    (output of one gate is a valid input to the next)."""
+    sk, ck = keys128fast
+    xs = jnp.asarray([False, False, True, True], bool)
+    ys = jnp.asarray([False, True, False, True], bool)
+    ct_x = tt.encrypt(jax.random.PRNGKey(3), sk, xs)
+    ct_y = tt.encrypt(jax.random.PRNGKey(4), sk, ys)
+    mid = gates.gate_xor(ck, ct_x, ct_y)
+    out = tt.decrypt(sk, gates.gate_xor(ck, mid, ct_y))
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(xs))  # (x ^ y) ^ y == x

@@ -11,6 +11,7 @@ from .params import (
     SchemeParameters,
     tfhe_parameters_80,
     tfhe_parameters_128,
+    tfhe_parameters_128_fast,
     tfhe_parameters_toy,
 )
 from .numeric import encode_message, decode_message, dtot32

@@ -110,7 +110,7 @@ def bootstrap_key_gen(rng, alpha: float, lwe_key, tlwe_key,
 
 
 def _default_depth() -> int:
-    """Karatsuba depth for new bootstrap keys (env TFHE_TPU_KARATSUBA_DEPTH).
+    """Karatsuba depth for new bootstrap keys (TuningConfig.karatsuba_depth).
 
     Depth 2 is the default: 40/64 of the dense super-block MACs with an
     18/16-row bake, measured 6,745 gates/s on the chip via the fused
@@ -118,9 +118,9 @@ def _default_depth() -> int:
     measures slower (6,520 even at 9 DMA slots: more, smaller dots); depth 0
     keeps the dense block-Toeplitz path.
     """
-    import os
+    from .tuning import get_tuning
 
-    return int(os.environ.get("TFHE_TPU_KARATSUBA_DEPTH", "2"))
+    return get_tuning().karatsuba_depth
 
 
 def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int,
@@ -206,10 +206,10 @@ def mux_rotate(accum: TLweSample, bki_limbs, barai,
 
 def _use_pallas_cmux() -> bool:
     """Pallas kernels on real TPU; XLA path elsewhere (tests force either via
-    TFHE_TPU_CMUX=pallas|xla; CPU runs the kernels in interpret mode)."""
-    import os
+    TuningConfig.cmux = pallas|xla; CPU runs the kernels in interpret mode)."""
+    from .tuning import get_tuning
 
-    mode = os.environ.get("TFHE_TPU_CMUX", "auto")
+    mode = get_tuning().cmux
     if mode == "pallas":
         return True
     if mode == "xla":
@@ -236,15 +236,16 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
             )
             from .noise import blind_rotate_var
             from .tgsw import decomp_offset
+            from .tuning import get_tuning
 
             # ONE kernel launch for the whole rotation (megakernel): the
             # accumulator stays in VMEM across all n steps per batch cell.
             # The two-subtile pipelined variant overlaps each subtile's VPU
             # rotate/decompose with the other's MXU dots and shares one E
             # fetch ring — the default for batches of >= 2 full cells
-            # (TFHE_TPU_PIPE=0/1 forces).
+            # (TuningConfig.pipe = 0/1 forces).
             bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)
-            pipe_env = __import__("os").environ.get("TFHE_TPU_PIPE", "auto")
+            pipe_env = get_tuning().pipe
             b_sz = accum.a.shape[0]
             use_pipe = (
                 b_sz % 256 == 0 if pipe_env == "auto" else pipe_env == "1"

@@ -37,10 +37,6 @@ from ..tgsw import decompose, gadget_values
 from ..tlwe import TLweSample
 
 
-def _env_int(name: str, default: int) -> int:
-    import os
-
-    return int(os.environ.get(name, default))
 
 
 # --- MK-LWE (reference: src/mk_internals.jl:6-40) ---
@@ -420,9 +416,9 @@ def _mk_bake_block(steps: int, p: int, kk: int, n: int,
                    budget_bytes: int) -> int:
     """Largest block T in {64, 32, 16} whose baked key fits the budget
     (size = steps * 2N * P * K*4 * T bytes); 0 = stay on the prepared path."""
-    import os
+    from ..tuning import get_tuning
 
-    budget = int(os.environ.get("TFHE_TPU_MK_BAKE_BUDGET", budget_bytes))
+    budget = get_tuning().mk_bake_budget or budget_bytes
     for t in (64, 32, 16):
         if n % t or n // t < 2:
             continue
@@ -441,7 +437,7 @@ def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
     Bakes the block-Toeplitz form when it fits HBM (2-party production:
     ~4.7 GB at T=32); larger party counts fall back to prepared limbs.
     """
-    import os
+    from ..tuning import get_tuning
 
     parties = pk_bs.shape[0]
     n_lwe = parts_ue[0].cd.shape[0]
@@ -457,7 +453,7 @@ def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
     # fast path consumes.
     fast = jax.default_backend() == "tpu" and n % 128 == 0 and n // 128 >= 2
     dense_bytes = steps * 4 * p * kk * 2 * n
-    sparse_env = os.environ.get("TFHE_TPU_MK_SPARSE_LIMBS", "auto")
+    sparse_env = get_tuning().mk_sparse_limbs
     if sparse_env == "auto":
         sparse = fast and dense_bytes > 8 * 2**30
     else:
@@ -513,10 +509,11 @@ def mk_nonzero_blocks(party: int, parties: int):
 
 def _use_mk_expand_kernel(bk: MKBootstrapKey) -> bool:
     """The expand+tiled-kernel MK fast path: prepared (block == 0) keys with
-    a 128-divisible ring degree, on TPU (or forced via TFHE_TPU_MK_CMUX)."""
-    import os
+    a 128-divisible ring degree, on TPU (or forced via
+    TuningConfig.mk_cmux)."""
+    from ..tuning import get_tuning
 
-    mode = os.environ.get("TFHE_TPU_MK_CMUX", "auto")
+    mode = get_tuning().mk_cmux
     if bk.block != 0 or bk.polynomial_degree % 128 or \
             bk.polynomial_degree // 128 < 2:
         return False
@@ -558,6 +555,7 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
         # prepared fallbacks below remain for CPU tests and odd geometries.
         from ..bootstrap import _default_depth
         from ..ops.karatsuba import expand_karatsuba_sparse, karatsuba_plan
+        from ..tuning import get_tuning
         from ..ops.pallas_cmux import (
             cmux_step_pallas_sparse,
             mk_blind_rotate_pallas_chunk,
@@ -611,7 +609,7 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
             # under ~1 GB of HBM (8-party steps are 236 MB each)
             rows = plan.total_rows * len(nz) * l * t
             e_step = rows * 4 * t
-            cap = _env_int("TFHE_TPU_MK_CHUNK", 0)
+            cap = get_tuning().mk_chunk
             if cap:
                 return cap if n_lwe % cap == 0 else 1
             best = 1
@@ -632,7 +630,7 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
             static_argnums=3,
         )
         acc_a = accum.a
-        use_mega = _env_int("TFHE_TPU_MK_MEGA", 1)
+        use_mega = get_tuning().mk_mega
         for party in range(bk.parties):
             nz = mk_nonzero_blocks(party, bk.parties)
             step = make_step(nz)

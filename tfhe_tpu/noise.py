@@ -18,20 +18,45 @@ asserted by tests/test_noise_model.py.
 from __future__ import annotations
 
 
+def decompose_bias_var(mask_size: int, decomp_length: int, log2_base: int,
+                       poly_degree: int) -> float:
+    """Phase-variance of the gadget decomposition's rounding BIAS, per step.
+
+    The reference's offset-trick decomposition (src/tgsw.jl:99-117, ours is
+    bit-exact to it) truncates rather than rounds: the per-coefficient
+    reconstruction error is -(x mod ulp), i.e. uniform on (-ulp, 0] with a
+    systematic mean of -ulp/2 (ulp = B^-l). A constant error polynomial
+    convolved (negacyclically) with the binary key gives phase coefficients
+    bias * D_t, where D_t are the key's signed partial sums — magnitude
+    O(N), NOT O(sqrt(N)). E_t[D_t^2] ~ N/4 + N^2/12 per mask polynomial.
+    This term is what rules out small l*b parameter sets on the biased
+    decomposition (l*b = 16 measures 2.4e-3 phase error PER STEP at k=2,
+    N=512 vs 1.1e-4 for l*b = 21): see tools/derive_fast_params.py.
+    The 2.5x calibration covers the measured excess over the independent-
+    coefficient model (tests/test_noise_model.py pins model vs measurement).
+    """
+    bias = 2.0 ** -(decomp_length * log2_base + 1)
+    d2 = poly_degree / 4.0 + poly_degree**2 / 12.0
+    return 2.5 * mask_size * d2 * bias * bias
+
+
 def extern_product_var(mask_size: int, decomp_length: int, log2_base: int,
                        poly_degree: int, sigma_bk: float) -> float:
     """Phase-variance added by one TGSW external product (one CMUX step).
 
-    Two terms: digit-times-key-noise ((k+1)*l*N * E[dig^2] * sigma^2 with
-    digits ~uniform on [-B/2, B/2)), and the gadget rounding of the
-    decomposed operand against the (binary) key (eps = B^-l / 2).
+    Three terms: digit-times-key-noise ((k+1)*l*N * E[dig^2] * sigma^2 with
+    digits ~uniform on [-B/2, B/2)), the zero-mean part of the gadget
+    rounding against the (binary) key (eps = B^-l / 2), and the rounding
+    BIAS term (see `decompose_bias_var` — the dominant rounding effect).
     Reference op: src/tgsw.jl:125-129.
     """
     k1 = mask_size + 1
     e_dig2 = (1 << (2 * log2_base)) / 12.0
     eps = 2.0 ** -(decomp_length * log2_base + 1)
     return (k1 * decomp_length * poly_degree * e_dig2 * sigma_bk**2
-            + (1 + mask_size * poly_degree / 2.0) * eps * eps)
+            + (1 + mask_size * poly_degree / 2.0) * eps * eps
+            + decompose_bias_var(mask_size, decomp_length, log2_base,
+                                 poly_degree))
 
 
 def blind_rotate_var(n_steps: int, mask_size: int, decomp_length: int,

@@ -33,6 +33,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..tuning import get_tuning
+
 
 def _rotate_decompose_kernel(bara_ref, acc_ref, dig_ref, *, n, k1, l, b, t,
                              s_limbs, offset):
@@ -220,7 +222,7 @@ def _fused_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
     # --- rotate + decompose into dig_ref [BT, M*PT], lane order (i, j, i_l, u)
     # (cacc_ref's first N lanes double as the barrel scratch; zeroed later)
     for j in range(k1 if "rot" not in ablate else 0):
-        row = acc_ref[:, j, :]
+        row = acc_ref[:, j * n: (j + 1) * n]
         cacc_ref[:, 0:n] = row
         for s in range(stages):
             cur = cacc_ref[:, 0:n]
@@ -317,8 +319,9 @@ def _fused_karatsuba_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
     # --- accumulator update in place, then DMA back to HBM
     for k in range(k1):
         for i in range(m):
-            acc_ref[:, k, i * t: (i + 1) * t] = (
-                acc_ref[:, k, i * t: (i + 1) * t]
+            dst = pl.ds(k * n + i * t, t)
+            acc_ref[:, dst] = (
+                acc_ref[:, dst]
                 + cacc_ref[:, i * kt + k * t: i * kt + (k + 1) * t]
             )
     if "io" not in ablate:
@@ -497,6 +500,10 @@ def _rotate_decompose_thunks(acc_ref, scr_ref, dig_ref, bara_row, *, n, k1, l,
     work between the OTHER subtile's MXU leaf dots. Sequential execution of
     the thunks is bit-identical to `_rotate_decompose_body`.
 
+    acc_ref is the FLAT [BT, k1*N] accumulator (2D layouts keep Mosaic HBM
+    DMA slicing legal for odd k1 — sublane tiling rejects a k1=3 slice of a
+    3D [B, k1, N] memref; the bytes are identical either way).
+
     scr_ref must be a [BT, >=N] int32 region private to this subtile; it
     carries the barrel state between thunks and holds `shifted` for the
     digit-extraction thunks.
@@ -518,7 +525,7 @@ def _rotate_decompose_thunks(acc_ref, scr_ref, dig_ref, bara_row, *, n, k1, l,
     for j in range(k1):
         def t_lo(j=j):
             shift1, _ = shifts()
-            scr_ref[:, 0:n] = acc_ref[:, j, :]
+            scr_ref[:, 0:n] = acc_ref[:, j * n: (j + 1) * n]
             for s in range(half_stages):
                 cur = scr_ref[:, 0:n]
                 rolled = pltpu.roll(cur, 1 << s, axis=1)
@@ -535,7 +542,8 @@ def _rotate_decompose_thunks(acc_ref, scr_ref, dig_ref, bara_row, *, n, k1, l,
             flip = (col >= shift1) ^ (~wrap)
             rotated = jnp.where(
                 flip, -scr_ref[:, 0:n], scr_ref[:, 0:n])
-            scr_ref[:, 0:n] = rotated - acc_ref[:, j, :] + jnp.int32(offset)
+            scr_ref[:, 0:n] = (
+                rotated - acc_ref[:, j * n: (j + 1) * n] + jnp.int32(offset))
 
         thunks.extend([t_lo, t_hi])
         for i_l in range(l):
@@ -693,8 +701,9 @@ def _blind_rotate_pipelined_kernel(
         kt = k1 * t
         for k in range(k1):
             for i in range(m):
-                acc_r[:, k, i * t: (i + 1) * t] = (
-                    acc_r[:, k, i * t: (i + 1) * t]
+                dst = pl.ds(k * n + i * t, t)
+                acc_r[:, dst] = (
+                    acc_r[:, dst]
                     + cacc_r[:, i * kt + k * t: i * kt + (k + 1) * t]
                 )
 
@@ -716,8 +725,7 @@ def _blind_rotate_pipelined_kernel(
 
             def run_other(vi, other=other, o_step=o_step, ph=ph):
                 # distribute the other subtile's thunks across visits
-                import os
-                if "rot" in os.environ.get("TFHE_TPU_PIPE_ABLATE", ""):
+                if "rot" in get_tuning().pipe_ablate:
                     return  # timing-only ablation: results are wrong
                 lo = (len(other) * vi) // n_v
                 hi = (len(other) * (vi + 1)) // n_v
@@ -782,9 +790,9 @@ def blind_rotate_pallas_pipelined(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
     combo_writes, leaf_dots, comb_rows = _kernel_plan(plan, p, t)
     max_l = max(L for _, L, _, _ in leaf_dots)
     dig_i32 = b > 8
-    bt = _pick_tile(b_sz // 2, btk or _env_tile("TFHE_TPU_BTP", 256))
+    bt = _pick_tile(b_sz // 2, btk or get_tuning().btp)
     n_leaves = len(leaf_dots)
-    want_slots = _env_tile("TFHE_TPU_PSLOTS", 6)
+    want_slots = get_tuning().pslots
     n_slots = 1
     for cand in range(min(want_slots, n_leaves), 0, -1):
         if (2 * n_leaves) % cand == 0:
@@ -803,9 +811,9 @@ def blind_rotate_pallas_pipelined(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
     # [cells, 2, n_steps, bt]: subtile index ahead of the step index so the
     # kernel's dynamic-step row loads start at lane offset 0 (rotate_thunks)
     bara4 = bara_t.reshape(n_steps, n_cells, 2, bt).transpose(1, 2, 0, 3)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         fn,
-        out_shape=jax.ShapeDtypeStruct((b_sz, k1, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_sz, k1 * n), jnp.int32),
         grid=(n_cells,),
         in_specs=[
             pl.BlockSpec((1, 2, n_steps, bt), lambda c: (c, 0, 0, 0),
@@ -815,8 +823,8 @@ def blind_rotate_pallas_pipelined(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((bt, k1, n), jnp.int32),  # acc A
-            pltpu.VMEM((bt, k1, n), jnp.int32),  # acc B
+            pltpu.VMEM((bt, k1 * n), jnp.int32),  # acc A (flat: odd-k1 DMA)
+            pltpu.VMEM((bt, k1 * n), jnp.int32),  # acc B
             pltpu.VMEM((bt, m * pt), dig_dt),  # dig A
             pltpu.VMEM((bt, m * pt), dig_dt),  # dig B
             pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),  # dcomb A
@@ -833,7 +841,8 @@ def blind_rotate_pallas_pipelined(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(bara4, acc, e_all)
+    )(bara4, acc.reshape(b_sz, k1 * n), e_all)
+    return out.reshape(b_sz, k1, n)
 
 
 def _sparse_plan(plan, l: int, p: int, t: int, nz):
@@ -1093,7 +1102,7 @@ def mk_blind_rotate_pallas_chunk(acc, e_chunk, bara_t, *, n, k1, l, b, t,
     max_l = max(len(u[0]) for u in units)
 
     if btk is None:
-        btk = _env_tile("TFHE_TPU_BTMK", 0)
+        btk = get_tuning().mk_btk
     if not btk:
         ebuf = 2 * max_l * lt * 4 * t
 
@@ -1170,7 +1179,7 @@ def cmux_step_pallas_sparse(acc, e_step, bara, *, n, k1, l, b, t, plan, nz,
     max_l = max(len(u[0]) for u in units)
 
     if btk is None:
-        btk = _env_tile("TFHE_TPU_BTMK", 0)
+        btk = get_tuning().mk_btk
     if not btk:
         ebuf = 2 * max_l * lt * 4 * t
 
@@ -1289,11 +1298,11 @@ def _blind_rotate_megakernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
                 e_dma(ns, nli, slot_of(ahead)).start()
 
         bara_row = bara_ref[s, :]
-        import os
-        if "rot" not in os.environ.get("TFHE_TPU_PIPE_ABLATE", ""):
+        if "rot" not in get_tuning().pipe_ablate:
             _rotate_decompose_body(
                 acc_ref, cacc_ref, dig_ref, bara_row,
-                n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32)
+                n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32,
+                acc_flat=True)
             _combo_body(dig_ref, dcomb_ref, combo_writes, pt)
         cacc_ref[...] = jnp.zeros(cacc_ref.shape, jnp.int32)
         _leaf_dots_body(
@@ -1303,8 +1312,9 @@ def _blind_rotate_megakernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref,
         kt = k1 * t
         for k in range(k1):
             for i in range(m):
-                acc_ref[:, k, i * t: (i + 1) * t] = (
-                    acc_ref[:, k, i * t: (i + 1) * t]
+                dst = pl.ds(k * n + i * t, t)
+                acc_ref[:, dst] = (
+                    acc_ref[:, dst]
                     + cacc_ref[:, i * kt + k * t: i * kt + (k + 1) * t]
                 )
         return 0
@@ -1343,11 +1353,11 @@ def blind_rotate_pallas_karatsuba(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
     # bt=128: all scratch + Mosaic stack temps fit the 16M scoped VMEM at
     # every depth; per-step key re-streaming at 32 cells measured ~0.08 ms
     # (fully hidden behind the dots)
-    bt = _pick_tile(b_sz, btk or _env_tile("TFHE_TPU_BTK", 128))
+    bt = _pick_tile(b_sz, btk or get_tuning().btk)
     n_leaves = len(leaf_dots)
     # slots must divide the leaf count so slot assignment stays static and
     # step-boundary-consistent (plans have 3^depth leaves -> 3 divides)
-    want_slots = _env_tile("TFHE_TPU_ESLOTS", 3)
+    want_slots = get_tuning().eslots
     n_slots = 1
     for cand in range(min(want_slots, n_leaves), 0, -1):
         if n_leaves % cand == 0:
@@ -1360,9 +1370,9 @@ def blind_rotate_pallas_karatsuba(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
         combo_writes=combo_writes, leaf_dots=leaf_dots, dig_i32=dig_i32,
         n_steps=n_steps, n_slots=n_slots,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         fn,
-        out_shape=jax.ShapeDtypeStruct((b_sz, k1, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_sz, k1 * n), jnp.int32),
         grid=(b_sz // bt,),
         in_specs=[
             pl.BlockSpec((n_steps, bt), lambda c: (0, c),
@@ -1372,7 +1382,7 @@ def blind_rotate_pallas_karatsuba(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # manual DMA per cell
         scratch_shapes=[
-            pltpu.VMEM((bt, k1, n), jnp.int32),  # acc tile
+            pltpu.VMEM((bt, k1 * n), jnp.int32),  # acc tile (flat: odd k1)
             pltpu.VMEM((bt, m * pt), jnp.int32 if dig_i32 else jnp.int8),
             pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),
             pltpu.VMEM((n_slots, max_l * pt, cols), jnp.int8),
@@ -1385,7 +1395,8 @@ def blind_rotate_pallas_karatsuba(acc, e_all, bara_t, *, n, k1, l, b, t, plan,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=interpret,
-    )(bara_t, acc, e_all)
+    )(bara_t, acc.reshape(b_sz, k1 * n), e_all)
+    return out.reshape(b_sz, k1, n)
 
 
 def _pick_tile(b_sz: int, target: int) -> int:
@@ -1393,12 +1404,6 @@ def _pick_tile(b_sz: int, target: int) -> int:
     while b_sz % bt:
         bt -= 1
     return bt
-
-
-def _env_tile(name: str, default: int) -> int:
-    import os
-
-    return int(os.environ.get(name, default))
 
 
 @functools.partial(
@@ -1430,7 +1435,7 @@ def cmux_step_pallas_karatsuba(acc, e_step, bara, *, n, k1, l, b, t, plan,
     combo_writes, leaf_dots, comb_rows = _kernel_plan(plan, p, t)
     max_l = max(L for _, L, _, _ in leaf_dots)
     dig_i32 = b > 8
-    bt = _pick_tile(b_sz, btk or _env_tile("TFHE_TPU_BTK", 256))
+    bt = _pick_tile(b_sz, btk or get_tuning().bt_step)
 
     fn = functools.partial(
         _fused_karatsuba_kernel,
@@ -1438,9 +1443,9 @@ def cmux_step_pallas_karatsuba(acc, e_step, bara, *, n, k1, l, b, t, plan,
         combo_writes=combo_writes, leaf_dots=leaf_dots, dig_i32=dig_i32,
         ablate=ablate,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         fn,
-        out_shape=jax.ShapeDtypeStruct((b_sz, k1, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b_sz, k1 * n), jnp.int32),
         grid=(b_sz // bt,),
         in_specs=[
             pl.BlockSpec((bt, 1), lambda c: (c, 0), memory_space=pltpu.VMEM),
@@ -1449,7 +1454,7 @@ def cmux_step_pallas_karatsuba(acc, e_step, bara, *, n, k1, l, b, t, plan,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),  # manual DMA per cell
         scratch_shapes=[
-            pltpu.VMEM((bt, k1, n), jnp.int32),  # acc tile
+            pltpu.VMEM((bt, k1 * n), jnp.int32),  # acc tile (flat: odd k1)
             pltpu.VMEM((bt, m * pt), jnp.int32 if dig_i32 else jnp.int8),
             pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),
             pltpu.VMEM((2, max_l * pt, cols), jnp.int8),
@@ -1458,7 +1463,8 @@ def cmux_step_pallas_karatsuba(acc, e_step, bara, *, n, k1, l, b, t, plan,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(bara.reshape(b_sz, 1), acc, e_step)
+    )(bara.reshape(b_sz, 1), acc.reshape(b_sz, k1 * n), e_step)
+    return out.reshape(b_sz, k1, n)
 
 
 @functools.partial(
@@ -1483,7 +1489,7 @@ def cmux_step_pallas(acc, e_step, bara, *, n, k1, l, b, t, s_limbs, d_shifts,
     pt = p * t
     cols = k1 * 4 * t
 
-    bt_a = _pick_tile(b_sz, _env_tile("TFHE_TPU_BTA", 256))
+    bt_a = _pick_tile(b_sz, get_tuning().bta)
     rot_fn = functools.partial(
         _rotate_decompose_kernel,
         n=n, k1=k1, l=l, b=b, t=t, s_limbs=s_limbs, offset=offset,
@@ -1502,7 +1508,7 @@ def cmux_step_pallas(acc, e_step, bara, *, n, k1, l, b, t, s_limbs, d_shifts,
         interpret=interpret,
     )(bara.reshape(b_sz, 1), acc)
 
-    bt_b = _pick_tile(b_sz, _env_tile("TFHE_TPU_BTB", 256))
+    bt_b = _pick_tile(b_sz, get_tuning().btb)
     mm_fn = functools.partial(
         _cmux_matmul_kernel,
         n=n, k1=k1, l=l, b=b, t=t, s_limbs=s_limbs, d_shifts=d_shifts,

@@ -18,7 +18,6 @@ environment's automatic detection).
 
 from __future__ import annotations
 
-import os
 
 import jax
 import numpy as np
@@ -28,11 +27,13 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Join the process group. Arguments default to TFHE_COORD / TFHE_NPROC /
     TFHE_PID env vars; on TPU pods with auto-detection, call with no args."""
-    coordinator = coordinator or os.environ.get("TFHE_COORD")
-    if num_processes is None and "TFHE_NPROC" in os.environ:
-        num_processes = int(os.environ["TFHE_NPROC"])
-    if process_id is None and "TFHE_PID" in os.environ:
-        process_id = int(os.environ["TFHE_PID"])
+    from ..tuning import env_int, env_str
+
+    coordinator = coordinator or env_str("TFHE_COORD")
+    if num_processes is None:
+        num_processes = env_int("TFHE_NPROC")
+    if process_id is None:
+        process_id = env_int("TFHE_PID")
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

@@ -94,6 +94,53 @@ def tfhe_parameters_128(tlwe_mask_size: int = 1) -> SchemeParameters:
     )
 
 
+def tfhe_parameters_128_fast() -> SchemeParameters:
+    """~128-bit preset retuned for the TPU's MXU cost model (k=2, N=512).
+
+    The reference's 128-bit preset (src/api.jl:55-69: k=1, N=1024, bs l=3
+    b=7) caps the v5e at ~9,950 gates/s: per-gate byte-MACs scale as
+    n * macs(plan) * (k+1)^2 * l * N^2, so the algorithmic levers are the
+    scheme parameters themselves. This preset keeps every lattice instance
+    IDENTICAL to the reference's and re-splits the ring geometry:
+
+    * TLWE: k=2 masks of degree N=512 instead of k=1 of N=1024 — the SAME
+      unstructured-LWE instance (dimension k*N=1024, modulus 2^32, binary
+      secret, sigma 2^-25); module-LWE rank 2 over X^512+1 is not known to
+      be weaker than ring-LWE over X^1024+1 at equal dimension, and
+      lattice-estimator methodology rates both through that LWE instance.
+      Effect: (k+1)^2 * N^2 drops 8/9... with the depth-2 block-Karatsuba
+      plan the super-block MAC count falls 40 -> 10 (ops/karatsuba.py).
+    * Gadget: l=3 at base 2^7 — unchanged from the reference. (l=2 at
+      base 2^8 was measured 8% cheaper still, but the gadget's
+      reference-exact decomposition carries a -ulp/2 rounding BIAS whose
+      key-convolved phase error scales as 2^-(l*b)*N*sqrt(k/12) per step —
+      measured 2.4e-3/step at l*b=16, acceptable 1.1e-4 at l*b=21; see
+      `decompose_balanced_var` in noise.py and tools/derive_fast_params.py.)
+    * LWE (n=630, sigma 2^-15) and keyswitch (n_in = k*N = 1024, l=8,
+      base 4, sigma 2^-15): unchanged.
+
+    Net: 11.1G byte-MACs/gate vs 19.8G — algorithmic ceiling ~17,700
+    gates/s on v5e. Margin analysis (tools/derive_fast_params.py, honest
+    noise model tfhe_tpu/noise.py incl. the measured bias term): worst
+    2-input gate decision margin is >= 16 sigma. Asserted by
+    tests/test_noise_model.py. For multi-valued PBS/radix (margins finer
+    than the boolean 1/8) keep `tfhe_parameters_128` — docs/params_fast.md.
+    """
+    return SchemeParameters(
+        lwe_size=630,
+        lwe_noise_stddev=2.0**-15,
+        tlwe_polynomial_degree=512,
+        tlwe_mask_size=2,
+        bs_decomp_length=3,
+        bs_log2_base=7,
+        bs_noise_stddev=2.0**-25,
+        ks_decomp_length=8,
+        ks_log2_base=2,
+        ks_noise_stddev=2.0**-15,
+        max_parties=1,
+    )
+
+
 def tfhe_parameters_toy() -> SchemeParameters:
     """Tiny insecure parameters for fast oracle-equivalence tests only.
 

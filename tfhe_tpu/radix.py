@@ -49,10 +49,10 @@ def _use_many_lut() -> bool:
     pbs.py) instead of a stacked two-rotation call — adds then cost HALF a
     rotation per bit. Costs q=2 coarser modulus switching (~0.0035 of the
     torus at the 128-bit preset, small against the input phase noise).
-    TFHE_TPU_RADIX_MANYLUT=0 reverts to the stacked path."""
-    import os
+    TuningConfig.radix_manylut = False reverts to the stacked path."""
+    from .tuning import get_tuning
 
-    return os.environ.get("TFHE_TPU_RADIX_MANYLUT", "1") != "0"
+    return get_tuning().radix_manylut
 
 BITS_PER_DIGIT = 2
 DIGIT_BASE = 1 << BITS_PER_DIGIT  # 4

@@ -1,0 +1,161 @@
+"""Tuning knobs: ONE frozen config, read at ONE boundary.
+
+Every performance/dispatch knob in the framework lives in `TuningConfig`.
+The environment (`TFHE_TPU_*`) is parsed ONLY here; hot modules call
+`get_tuning()` and read fields. An explicit config can be installed with
+`set_tuning` / the `override(...)` context manager (tests, benchmarks),
+which takes precedence over the environment.
+
+Two kinds of knobs, kept honest separately:
+
+* schedule-only knobs (batch tiles, DMA slot counts, kernel/dispatch
+  selection): every value is BIT-EXACT by construction — the differential
+  tests assert kernel == XLA == oracle for each path — so they are *not*
+  part of checkpoint fingerprints (a resumed job may legally run a
+  different schedule).
+* result-affecting knobs (`radix_manylut` changes the radix PBS wire
+  bits via its coarser modulus switch; `pipe_ablate` produces WRONG results
+  by design — timing ablations only; `debug` adds assertions): included in
+  `result_fingerprint()`, which `utils/jobs.py` folds into the job
+  fingerprint so a checkpoint cannot silently resume under different
+  semantics.
+
+The reference has no tuning surface at all (a single immutable parameter
+struct, src/api.jl:4-21); this module is the TPU build's equivalent of that
+discipline for the knobs the reference never needed.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import json
+import os
+
+
+@dataclasses.dataclass(frozen=True)
+class TuningConfig:
+    # --- key baking / kernel dispatch ---
+    karatsuba_depth: int = 2    # block-Karatsuba depth for new bootstrap keys
+    cmux: str = "auto"          # auto|pallas|xla: single-key CMUX engine
+    pipe: str = "auto"          # auto|0|1: two-subtile pipelined megakernel
+    # --- single-key batch tiles / DMA ring sizes ---
+    btk: int = 128              # serial megakernel batch tile (rows)
+    bt_step: int = 256          # single-step fused kernel batch tile
+    btp: int = 256              # pipelined megakernel subtile (rows)
+    bta: int = 256              # two-kernel path: rotate tile
+    btb: int = 256              # two-kernel path: matmul tile
+    eslots: int = 3             # serial megakernel E-fetch ring slots
+    pslots: int = 6             # pipelined megakernel shared E-ring slots
+    # --- multi-key ---
+    mk_btk: int = 0             # MK kernel batch tile; 0 = largest VMEM fit
+    mk_bake_budget: int = 0     # bytes for the MK XLA-path bake; 0 = default
+    mk_sparse_limbs: str = "auto"  # auto|0|1: sparse nonzero-block storage
+    mk_cmux: str = "auto"       # auto|expand|prepared|xla
+    mk_chunk: int = 0           # steps per MK megakernel launch; 0 = auto
+    mk_mega: bool = True        # chunked MK megakernel fast path
+    # --- result-affecting ---
+    radix_manylut: bool = True  # PBSmanyLUT pairs (coarser mod switch)
+    pipe_ablate: str = ""       # timing-only ablations: results are WRONG
+    debug: bool = False         # opt-in invariant checks at kernel boundaries
+
+    RESULT_AFFECTING = ("radix_manylut", "pipe_ablate", "debug")
+
+    def result_fingerprint(self) -> str:
+        """The knobs a checkpoint must not silently change under."""
+        return json.dumps(
+            {k: getattr(self, k) for k in self.RESULT_AFFECTING},
+            sort_keys=True)
+
+    def describe(self) -> dict:
+        """Full knob dict for benchmark logs / STATUS tables."""
+        return dataclasses.asdict(self)
+
+
+_ENV = {
+    "karatsuba_depth": "TFHE_TPU_KARATSUBA_DEPTH",
+    "cmux": "TFHE_TPU_CMUX",
+    "pipe": "TFHE_TPU_PIPE",
+    "btk": "TFHE_TPU_BTK",
+    "bt_step": "TFHE_TPU_BT_STEP",
+    "btp": "TFHE_TPU_BTP",
+    "bta": "TFHE_TPU_BTA",
+    "btb": "TFHE_TPU_BTB",
+    "eslots": "TFHE_TPU_ESLOTS",
+    "pslots": "TFHE_TPU_PSLOTS",
+    "mk_btk": "TFHE_TPU_BTMK",
+    "mk_bake_budget": "TFHE_TPU_MK_BAKE_BUDGET",
+    "mk_sparse_limbs": "TFHE_TPU_MK_SPARSE_LIMBS",
+    "mk_cmux": "TFHE_TPU_MK_CMUX",
+    "mk_chunk": "TFHE_TPU_MK_CHUNK",
+    "mk_mega": "TFHE_TPU_MK_MEGA",
+    "radix_manylut": "TFHE_TPU_RADIX_MANYLUT",
+    "pipe_ablate": "TFHE_TPU_PIPE_ABLATE",
+    "debug": "TFHE_TPU_DEBUG",
+}
+
+_OVERRIDE: list = []
+
+
+def from_env() -> TuningConfig:
+    """Parse the TFHE_TPU_* environment into a TuningConfig."""
+    kw = {}
+    for field in dataclasses.fields(TuningConfig):
+        raw = os.environ.get(_ENV[field.name])
+        if raw is None:
+            continue
+        if field.type == "bool":
+            kw[field.name] = raw not in ("0", "false", "")
+        elif field.type == "int":
+            kw[field.name] = int(raw)
+        else:
+            kw[field.name] = raw
+    return TuningConfig(**kw)
+
+
+def get_tuning() -> TuningConfig:
+    """The active config: explicit override if installed, else the env.
+
+    Env parsing is repeated per call (it is only reached at Python trace
+    time, never inside compiled code) so test fixtures that monkeypatch the
+    environment behave as expected.
+    """
+    if _OVERRIDE:
+        return _OVERRIDE[-1]
+    return from_env()
+
+
+def set_tuning(cfg: TuningConfig | None) -> None:
+    """Install (or, with None, clear) a process-wide explicit config."""
+    _OVERRIDE.clear()
+    if cfg is not None:
+        _OVERRIDE.append(cfg)
+
+
+@contextlib.contextmanager
+def override(**kwargs):
+    """Context manager: temporarily replace named knobs."""
+    base = get_tuning()
+    _OVERRIDE.append(dataclasses.replace(base, **kwargs))
+    try:
+        yield _OVERRIDE[-1]
+    finally:
+        _OVERRIDE.pop()
+
+
+# --- non-tuning environment reads, centralized so the whole package has a
+# single env boundary (grep os.environ -> this module only) ---
+
+def env_str(name: str, default: str | None = None) -> str | None:
+    return os.environ.get(name, default)
+
+
+def env_int(name: str, default: int | None = None) -> int | None:
+    raw = os.environ.get(name)
+    return default if raw is None else int(raw)
+
+
+def append_xla_flag(flag: str) -> None:
+    """XLA dump escape hatch (utils/profiling.py)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = f"{flags} {flag}".strip()

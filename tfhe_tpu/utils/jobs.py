@@ -50,6 +50,12 @@ def job_fingerprint(schedule, params, batch_shape) -> str:
         h.update(np.asarray(schedule.wire_slot, np.int32).tobytes())
     h.update(repr(tuple(batch_shape)).encode())
     h.update(repr(params).encode())  # frozen dataclass: stable repr
+    # result-affecting tuning knobs only: schedule knobs (batch tiles, DMA
+    # slots, kernel selection) are bit-exact by construction and a resumed
+    # job may legally run under a different schedule (tfhe_tpu/tuning.py)
+    from ..tuning import get_tuning
+
+    h.update(get_tuning().result_fingerprint().encode())
     return h.hexdigest()
 
 

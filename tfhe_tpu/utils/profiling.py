@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
-import os
 
 
 # v5e per-chip ceilings (int8 MXU MACs/s counts one multiply-add as one MAC)
@@ -59,8 +58,9 @@ def enable_xla_dump(dump_dir: str = "/tmp/tfhe_tpu_xla_dump") -> str:
             "enable_xla_dump must run before the first JAX backend "
             "initialization; set XLA_FLAGS=--xla_dump_to=... in the "
             "environment instead")
-    flags = os.environ.get("XLA_FLAGS", "")
-    os.environ["XLA_FLAGS"] = f"{flags} --xla_dump_to={dump_dir}".strip()
+    from ..tuning import append_xla_flag
+
+    append_xla_flag(f"--xla_dump_to={dump_dir}")
     return dump_dir
 
 
