@@ -219,6 +219,37 @@ def main():
     emit("mk2_nand_throughput", Bm / dt, "gates/s",
          {"batch": Bm, "errors": errs})
 
+    # --- 5b: 4-party MK NAND (party keys shardable across hosts) ---
+    del mck, parts, sks, e1, e2, out
+    pmk4 = mk.mktfhe_parameters_toy(4) if small else mk.mktfhe_parameters_4party()
+    r = jax.random.PRNGKey(31)
+    r_sh, *party_rngs = jax.random.split(r, 5)
+    shared4 = mk.make_shared_key(r_sh, pmk4)
+    sks4, parts4 = [], []
+    for rr in party_rngs:
+        r_sk, r_part = jax.random.split(rr)
+        s = tt.make_secret_key(r_sk, pmk4)
+        sks4.append(s)
+        parts4.append(mk.make_cloud_key_part(r_part, s, shared4))
+    t0 = time.time()
+    mck4 = mk.make_mk_cloud_key(parts4)
+    jax.block_until_ready(mck4.bootstrap_key.limbs)
+    log(f"mk4 expansion: {time.time() - t0:.1f}s")
+    B4 = 4 if small else 4096
+    m4 = jnp.arange(B4) % 2 == 0
+    f1 = mk.mk_encrypt(jax.random.PRNGKey(32), sks4, m4)
+    f2 = mk.mk_encrypt(jax.random.PRNGKey(33), sks4, ~m4)
+    mknand4 = jax.jit(mk.mk_gate_nand)
+    out4 = mknand4(mck4, f1, f2); jax.block_until_ready(out4)
+    t0 = time.time()
+    out4 = mknand4(mck4, out4, f2)
+    jax.block_until_ready(out4)
+    dt = time.time() - t0
+    dec4 = np.asarray(mk.mk_decrypt(sks4, out4))
+    want4 = ~(np.asarray(~(m4 & ~m4)) & np.asarray(~m4))
+    emit("mk4_nand_throughput", B4 / dt, "gates/s",
+         {"batch": B4, "errors": int((dec4 != want4).sum())})
+
 
 if __name__ == "__main__":
     main()

@@ -120,14 +120,20 @@ def gadget_values(decomp_length, log2_base):
     return w32([1 << (32 - (i + 1) * log2_base) for i in range(decomp_length)])
 
 
-def decomp_offset(decomp_length, log2_base):
+def decomp_offset(decomp_length, log2_base, balanced=False):
+    """balanced=True folds in an extra half-ulp so the truncating offset
+    trick becomes round-to-nearest (zero-mean reconstruction error; the
+    framework's `gadget_balanced` scheme option — see tfhe_tpu/tgsw.py)."""
     g = gadget_values(decomp_length, log2_base).astype(np.uint32)
-    return w32(int(g.sum(dtype=np.uint64)) * (1 << (log2_base - 1)))
+    total = int(g.sum(dtype=np.uint64)) * (1 << (log2_base - 1))
+    if balanced and decomp_length * log2_base < 32:
+        total += 1 << (31 - decomp_length * log2_base)
+    return w32(total)
 
 
-def decompose(poly, decomp_length, log2_base):
+def decompose(poly, decomp_length, log2_base, balanced=False):
     """Signed base-2^log2_base digit decomposition: [l, N], digits in [-B/2, B/2)."""
-    offset = np.int64(decomp_offset(decomp_length, log2_base))
+    offset = np.int64(decomp_offset(decomp_length, log2_base, balanced))
     mask = (1 << log2_base) - 1
     half = 1 << (log2_base - 1)
     shifted = w32(np.asarray(poly, np.int64) + offset)
@@ -149,14 +155,14 @@ def tgsw_add_gadget_times_message(samples, message, decomp_length, log2_base):
     return out
 
 
-def tgsw_extern_mul(accum, gsw, decomp_length, log2_base):
+def tgsw_extern_mul(accum, gsw, decomp_length, log2_base, balanced=False):
     """accum: [k+1, N]; gsw: [l, k+1, k+1, N] (coefficient domain).
     out[c] = sum_{i,j} decompose(accum[j])[i] * gsw[i, j, c]."""
     kp1 = accum.shape[0]
     n = accum.shape[1]
     out = np.zeros((kp1, n), np.int64)
     for j in range(kp1):
-        digits = decompose(accum[j], decomp_length, log2_base)
+        digits = decompose(accum[j], decomp_length, log2_base, balanced)
         for i in range(decomp_length):
             for c in range(kp1):
                 out[c] += negacyclic_mul(digits[i], gsw[i, j, c]).astype(np.int64)
@@ -196,7 +202,7 @@ def keyswitch(ks_a, ks_b, sample_a, sample_b, decomp_length, log2_base):
 # --- C8: bootstrap (src/bootstrap.jl) ---
 
 
-def mux_rotate(accum, gsw, barai, decomp_length, log2_base):
+def mux_rotate(accum, gsw, barai, decomp_length, log2_base, balanced=False):
     """accum += gsw (x) [(x^barai - 1) * accum]."""
     temp = w32(
         np.stack([mul_by_monomial(p, barai) for p in accum]).astype(np.int64)
@@ -204,15 +210,17 @@ def mux_rotate(accum, gsw, barai, decomp_length, log2_base):
     )
     return w32(
         accum.astype(np.int64)
-        + tgsw_extern_mul(temp, gsw, decomp_length, log2_base).astype(np.int64)
+        + tgsw_extern_mul(temp, gsw, decomp_length, log2_base,
+                          balanced).astype(np.int64)
     )
 
 
-def blind_rotate(accum, bk, bara, decomp_length, log2_base):
+def blind_rotate(accum, bk, bara, decomp_length, log2_base, balanced=False):
     """bk: [n, l, k+1, k+1, N] coefficient-domain TGSW keys; bara: [n] in [0, 2N)."""
     for i in range(len(bara)):
         if bara[i] != 0:
-            accum = mux_rotate(accum, bk[i], int(bara[i]), decomp_length, log2_base)
+            accum = mux_rotate(accum, bk[i], int(bara[i]), decomp_length,
+                               log2_base, balanced)
     return accum
 
 

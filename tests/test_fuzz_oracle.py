@@ -33,6 +33,7 @@ def _configs(seed, count):
             b=int(rng.choice([4, 6, 7, 8, 10])),
             depth=int(rng.choice([0, 1, 2])),
             n_lwe=int(rng.choice([5, 8])),
+            balanced=bool(rng.integers(0, 2)),
         ))
     return out
 
@@ -46,11 +47,13 @@ def test_blind_rotate_fuzz(cfg):
     bara = rng.integers(0, 2 * n_poly, size=(2, cfg["n_lwe"])).astype(np.int32)
     bara[0, ::2] = 0  # branchless no-op path
     accum0 = rand_t32(rng, (2, k + 1, n_poly))
-    bk = bs.bootstrap_key_from_raw(bk_raw, l, b, depth=cfg["depth"])
+    bk = bs.bootstrap_key_from_raw(bk_raw, l, b, depth=cfg["depth"],
+                                   balanced=cfg["balanced"])
     acc = tlwe_mod.TLweSample(accum0, np.zeros(2, np.float32))
     got = np.asarray(bs.blind_rotate(acc, bk, bara).a)
     for i in range(2):
-        want = oracle.blind_rotate(accum0[i], bk_raw, bara[i], l, b)
+        want = oracle.blind_rotate(accum0[i], bk_raw, bara[i], l, b,
+                                   cfg["balanced"])
         np.testing.assert_array_equal(got[i], want, err_msg=str(cfg))
 
 
@@ -76,3 +79,24 @@ def test_keyswitch_fuzz(ks_l, ks_b, n_in, n_out):
                                   ks_l, ks_b)
         np.testing.assert_array_equal(np.asarray(got.a)[i], wa)
         assert int(np.asarray(got.b)[i]) == int(wb)
+
+
+@pytest.mark.parametrize("l,b", [(2, 8), (3, 7), (2, 10), (4, 8)])
+def test_balanced_decompose_invariants(l, b):
+    """The balanced gadget rounds to NEAREST with zero-mean error and
+    preserves decompose(0) == 0 (the branchless blind-rotate identity)."""
+    from tfhe_tpu.tgsw import decompose, gadget_values
+
+    rng = np.random.default_rng(l * 100 + b)
+    x = rng.integers(-2**31, 2**31, 8192, dtype=np.int64).astype(np.int32)
+    d = np.asarray(decompose(x[:, None], l, b, balanced=True))[:, :, 0]
+    g = np.asarray(gadget_values(l, b)).astype(np.int64)
+    rec = (d.astype(np.int64) * g).sum(axis=1)
+    err = ((x.astype(np.int64) - rec + 2**31) % 2**32) - 2**31
+    ulp = 1 << (32 - l * b)
+    assert np.abs(err).max() <= ulp // 2, (l, b, np.abs(err).max())
+    assert abs(err.mean()) < ulp / 16, (l, b, err.mean())  # zero-mean
+    assert np.abs(d).max() <= (1 << (b - 1)), (l, b)  # digit range
+    # the no-op identity: zero decomposes to all-zero digits
+    d0 = np.asarray(decompose(np.zeros(4, np.int32), l, b, balanced=True))
+    assert (d0 == 0).all()

@@ -83,7 +83,8 @@ def test_cmux_step_pallas_karatsuba_matches_xla(rng, n, l, b, t, batch, depth):
         (256, 3, 7, 32, 2, 2),   # M=8, depth 2
         (256, 3, 7, 32, 3, 2),   # M=8, full depth
         (256, 2, 10, 32, 2, 2),  # 80-bit-style two-limb digits
-        (128, 2, 8, 32, 2, 3),   # 128_fast shape family: k=2, M=4, b=8
+        (128, 2, 8, 32, 2, 3),   # k=2, M=4, b=8 family
+        (64, 2, 8, 32, 1, 5),    # 128_fast shape family: k=4, M=2, b=8
     ],
 )
 def test_blind_rotate_megakernel_matches_xla(rng, n, l, b, t, depth, k1):
@@ -116,7 +117,8 @@ def test_blind_rotate_megakernel_matches_xla(rng, n, l, b, t, depth, k1):
         (256, 3, 7, 32, 2, 2),   # M=8, depth 2 (production shape)
         (256, 2, 10, 32, 2, 2),  # 80-bit-style two-limb digits
         (256, 3, 7, 32, 3, 2),   # full depth: 27 leaves, 3-slot ring
-        (128, 2, 8, 32, 2, 3),   # 128_fast shape family: k=2, M=4, b=8
+        (128, 2, 8, 32, 2, 3),   # k=2, M=4, b=8 family
+        (64, 2, 8, 32, 1, 5),    # 128_fast shape family: k=4, M=2, b=8
     ],
 )
 def test_blind_rotate_pipelined_matches_xla(rng, n, l, b, t, depth, k1):

@@ -71,6 +71,7 @@ def make_cloud_key(rng, secret_key: SecretKey) -> CloudKey:
     bs_key = bootstrap_key_gen(
         rng_bs, params.bs_noise_stddev, secret_key.key, tlwe_key,
         params.bs_decomp_length, params.bs_log2_base,
+        balanced=params.gadget_balanced,
     )
     ks_key = keyswitch_key_gen(
         rng_ks, params.ks_noise_stddev,

@@ -50,7 +50,7 @@ def _default_block(poly_degree: int) -> int:
     data_fields=["baked"],
     meta_fields=[
         "decomp_length", "log2_base", "polynomial_degree", "mask_size",
-        "block", "depth", "noise_stddev",
+        "block", "depth", "noise_stddev", "balanced",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -80,6 +80,7 @@ class BootstrapKey:
     block: int
     depth: int = 0
     noise_stddev: float = 0.0  # keygen sigma, feeds the honest cv model
+    balanced: bool = False  # nearest-rounding gadget (tgsw.decomp_offset)
 
     @property
     def n(self) -> int:
@@ -96,7 +97,8 @@ class BootstrapKey:
 
 def bootstrap_key_gen(rng, alpha: float, lwe_key, tlwe_key,
                       decomp_length: int, log2_base: int,
-                      block: int | None = None) -> BootstrapKey:
+                      block: int | None = None,
+                      balanced: bool = False) -> BootstrapKey:
     """TGSW-encrypt each bit of the LWE key under the TLWE key, then bake.
 
     Reference: src/bootstrap.jl:6-15.
@@ -106,7 +108,7 @@ def bootstrap_key_gen(rng, alpha: float, lwe_key, tlwe_key,
         rng, lwe_key, alpha, tlwe_key, decomp_length, log2_base, batch_shape=(n,)
     )  # [n, l, k+1, k+1, N]
     return bootstrap_key_from_raw(gsw, decomp_length, log2_base, block,
-                                  noise_stddev=alpha)
+                                  noise_stddev=alpha, balanced=balanced)
 
 
 def _default_depth() -> int:
@@ -126,7 +128,8 @@ def _default_depth() -> int:
 def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int,
                            block: int | None = None,
                            depth: int | None = None,
-                           noise_stddev: float = 0.0) -> BootstrapKey:
+                           noise_stddev: float = 0.0,
+                           balanced: bool = False) -> BootstrapKey:
     """Bake a key from raw coefficient-domain TGSW samples
     (gsw: int32[n, l, k+1, k+1, N]) — also used by oracle-equivalence tests."""
     from .ops.conv import bake_block_toeplitz
@@ -144,12 +147,12 @@ def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int,
         baked = bake_block_toeplitz(limbs, t)
     return BootstrapKey(
         baked, decomp_length, log2_base, poly_degree, gsw.shape[-2] - 1, t,
-        depth, noise_stddev,
+        depth, noise_stddev, balanced,
     )
 
 
 def mux_rotate_baked(acc_a, e_i, barai, decomp_length: int, log2_base: int,
-                     block: int):
+                     block: int, balanced: bool = False):
     """accum += BK_i (x) [(X^bara_i - 1) * accum] — the CMUX, baked form.
 
     acc_a: int32[B, k+1, N]; e_i: int8[2M, P*T, K*4*T]; barai: int32[B].
@@ -167,7 +170,7 @@ def mux_rotate_baked(acc_a, e_i, barai, decomp_length: int, log2_base: int,
     b_sz, kp1, n = acc_a.shape
     rot = polynomial.mul_by_monomial(acc_a, barai[:, None])
     temp = rot - acc_a
-    digits = decompose(temp, decomp_length, log2_base)  # [B, k+1, l, N]
+    digits = decompose(temp, decomp_length, log2_base, balanced)
     digits = digits.reshape(b_sz, kp1 * decomp_length, n)
     d_limbs, d_shifts = split_small_limbs(digits, log2_base - 1)
     prods = block_toeplitz_matmul(d_limbs, e_i, block)
@@ -176,7 +179,8 @@ def mux_rotate_baked(acc_a, e_i, barai, decomp_length: int, log2_base: int,
 
 
 def mux_rotate_karatsuba(acc_a, e_i, barai, decomp_length: int,
-                         log2_base: int, block: int, plan):
+                         log2_base: int, block: int, plan,
+                         balanced: bool = False):
     """The CMUX against a block-Karatsuba-baked key (ops/karatsuba.py).
 
     acc_a: int32[B, k+1, N]; e_i: int8[total_rows*P*T, K*4*T]; barai: int32[B].
@@ -188,19 +192,21 @@ def mux_rotate_karatsuba(acc_a, e_i, barai, decomp_length: int,
 
     b_sz, kp1, n = acc_a.shape
     rot = polynomial.mul_by_monomial(acc_a, barai[:, None])
-    digits = decompose(rot - acc_a, decomp_length, log2_base)
+    digits = decompose(rot - acc_a, decomp_length, log2_base, balanced)
     digits = digits.reshape(b_sz, kp1 * decomp_length, n)
     return acc_a + karatsuba_delta(digits, e_i, block, plan)
 
 
 def mux_rotate(accum: TLweSample, bki_limbs, barai,
-               decomp_length: int, log2_base: int) -> TLweSample:
+               decomp_length: int, log2_base: int,
+               balanced: bool = False) -> TLweSample:
     """CMUX against a prepared (non-baked) TGSW operand — low-volume paths
     and oracle tests. accum: [B, k+1, N]; barai: int32[B].
     Reference: src/bootstrap.jl:19-23.
     """
     temp = tlwe_mul_by_monomial(accum, barai) - accum
-    delta = tgsw_extern_mul_prepared(temp, bki_limbs, decomp_length, log2_base)
+    delta = tgsw_extern_mul_prepared(temp, bki_limbs, decomp_length,
+                                     log2_base, balanced)
     return TLweSample(accum.a + delta.a, accum.cv)
 
 
@@ -257,18 +263,19 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
             out_a = rotate_fn(
                 accum.a, bk.baked, bara_t,
                 n=bk.polynomial_degree, k1=bk.mask_size + 1, l=l, b=b, t=t,
-                plan=plan, offset=decomp_offset(l, b), interpret=interpret,
+                plan=plan, offset=decomp_offset(l, b, bk.balanced),
+                interpret=interpret,
             )
             cv = accum.cv + blind_rotate_var(
                 bk.n, bk.mask_size, l, b, bk.polynomial_degree,
-                bk.noise_stddev,
+                bk.noise_stddev, bk.balanced,
             )
             return TLweSample(out_a, cv)
 
         def step(acc_a, xs):
             e_i, bara_i = xs
             return mux_rotate_karatsuba(
-                acc_a, e_i, bara_i, l, b, t, plan), None
+                acc_a, e_i, bara_i, l, b, t, plan, bk.balanced), None
     # Compiled Mosaic kernels need lane-aligned blocks (T == 128); interpret
     # mode (CPU differential tests) has no such constraint.
     elif _use_pallas_cmux() and (interpret or t == 128):
@@ -278,7 +285,7 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
 
         _, d_shifts = split_small_limbs(jnp.zeros((1,), jnp.int32), b - 1)
         s_limbs = len(d_shifts)
-        offset = decomp_offset(l, b)
+        offset = decomp_offset(l, b, bk.balanced)
 
         def step(acc_a, xs):
             e_i, bara_i = xs
@@ -292,14 +299,16 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
     else:
         def step(acc_a, xs):
             e_i, bara_i = xs
-            return mux_rotate_baked(acc_a, e_i, bara_i, l, b, t), None
+            return mux_rotate_baked(
+                acc_a, e_i, bara_i, l, b, t, bk.balanced), None
 
     bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)  # [n, B]
     out_a, _ = jax.lax.scan(step, accum.a, (bk.baked, bara_t))
     from .noise import blind_rotate_var
 
     cv = accum.cv + blind_rotate_var(
-        bk.n, bk.mask_size, l, b, bk.polynomial_degree, bk.noise_stddev
+        bk.n, bk.mask_size, l, b, bk.polynomial_degree, bk.noise_stddev,
+        bk.balanced,
     )
     return TLweSample(out_a, cv)
 

@@ -201,7 +201,7 @@ def expand_keyswitch_key(ks: SeededKeyswitchKey) -> KeyswitchKey:
     jax.tree_util.register_dataclass,
     data_fields=["seed", "body"],
     meta_fields=["decomp_length", "log2_base", "polynomial_degree",
-                 "mask_size", "noise_stddev"],
+                 "mask_size", "noise_stddev", "balanced"],
 )
 @dataclasses.dataclass(frozen=True)
 class SeededBootstrapKey:
@@ -220,6 +220,7 @@ class SeededBootstrapKey:
     polynomial_degree: int
     mask_size: int
     noise_stddev: float = 0.0
+    balanced: bool = False  # gate-time gadget rounding (tgsw.decomp_offset)
 
     @property
     def n(self) -> int:
@@ -227,8 +228,8 @@ class SeededBootstrapKey:
 
 
 def bootstrap_key_gen_seeded(rng, alpha: float, lwe_key, tlwe_key,
-                             decomp_length: int,
-                             log2_base: int) -> SeededBootstrapKey:
+                             decomp_length: int, log2_base: int,
+                             balanced: bool = False) -> SeededBootstrapKey:
     """TGSW-encrypt each LWE key bit with body-side message placement.
 
     Reference semantics: src/bootstrap.jl:6-15 + src/tgsw.jl:52-88; the
@@ -255,7 +256,7 @@ def bootstrap_key_gen_seeded(rng, alpha: float, lwe_key, tlwe_key,
     )  # [n, l, k+1, N]
     return SeededBootstrapKey(
         _seed_data(rng_a), body + bump, l, log2_base, poly_n, k,
-        noise_stddev=alpha,
+        noise_stddev=alpha, balanced=balanced,
     )
 
 
@@ -268,7 +269,8 @@ def expand_bootstrap_key(bk: SeededBootstrapKey, block: int | None = None,
                                   (n, l, k + 1, k, poly_n))
     gsw = jnp.concatenate([a_part, bk.body[..., None, :]], axis=-2)
     return bootstrap_key_from_raw(gsw, l, bk.log2_base, block, depth,
-                                  noise_stddev=bk.noise_stddev)
+                                  noise_stddev=bk.noise_stddev,
+                                  balanced=bk.balanced)
 
 
 # ---------------------------------------------------------------------------
@@ -301,6 +303,7 @@ def make_seeded_cloud_key(rng, secret_key: SecretKey) -> SeededCloudKey:
     bs_key = bootstrap_key_gen_seeded(
         rng_bs, params.bs_noise_stddev, secret_key.key, tlwe_key,
         params.bs_decomp_length, params.bs_log2_base,
+        balanced=params.gadget_balanced,
     )
     ks_key = keyswitch_key_gen_seeded(
         rng_ks, params.ks_noise_stddev,

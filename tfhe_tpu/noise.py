@@ -41,7 +41,8 @@ def decompose_bias_var(mask_size: int, decomp_length: int, log2_base: int,
 
 
 def extern_product_var(mask_size: int, decomp_length: int, log2_base: int,
-                       poly_degree: int, sigma_bk: float) -> float:
+                       poly_degree: int, sigma_bk: float,
+                       balanced: bool = False) -> float:
     """Phase-variance added by one TGSW external product (one CMUX step).
 
     Three terms: digit-times-key-noise ((k+1)*l*N * E[dig^2] * sigma^2 with
@@ -53,20 +54,21 @@ def extern_product_var(mask_size: int, decomp_length: int, log2_base: int,
     k1 = mask_size + 1
     e_dig2 = (1 << (2 * log2_base)) / 12.0
     eps = 2.0 ** -(decomp_length * log2_base + 1)
+    bias = 0.0 if balanced else decompose_bias_var(
+        mask_size, decomp_length, log2_base, poly_degree)
     return (k1 * decomp_length * poly_degree * e_dig2 * sigma_bk**2
             + (1 + mask_size * poly_degree / 2.0) * eps * eps
-            + decompose_bias_var(mask_size, decomp_length, log2_base,
-                                 poly_degree))
+            + bias)
 
 
 def blind_rotate_var(n_steps: int, mask_size: int, decomp_length: int,
                      log2_base: int, poly_degree: int,
-                     sigma_bk: float) -> float:
+                     sigma_bk: float, balanced: bool = False) -> float:
     """n accumulated CMUX steps (src/bootstrap.jl:32-39); steps with
     bara == 0 add exactly zero, but their expected fraction is 1/2N —
     negligible, so the bound keeps the full n."""
     return n_steps * extern_product_var(
-        mask_size, decomp_length, log2_base, poly_degree, sigma_bk)
+        mask_size, decomp_length, log2_base, poly_degree, sigma_bk, balanced)
 
 
 def keyswitch_var(n_in: int, decomp_length: int, log2_base: int,

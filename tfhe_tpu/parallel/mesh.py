@@ -167,7 +167,7 @@ def shard_bootstrap_key_model(bk, mesh: Mesh):
     return BootstrapKey(
         jax.device_put(bk.baked, cols),
         bk.decomp_length, bk.log2_base, bk.polynomial_degree, bk.mask_size,
-        bk.block, bk.depth, bk.noise_stddev,
+        bk.block, bk.depth, bk.noise_stddev, bk.balanced,
     )
 
 

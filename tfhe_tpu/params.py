@@ -14,7 +14,8 @@ import math
 
 @dataclasses.dataclass(frozen=True)
 class SchemeParameters:
-    """All scheme parameters (reference: src/api.jl:4-21, same 11 fields)."""
+    """All scheme parameters (reference: src/api.jl:4-21, the same 11 fields
+    plus one TPU-build extension, `gadget_balanced`)."""
 
     lwe_size: int
     lwe_noise_stddev: float
@@ -31,6 +32,14 @@ class SchemeParameters:
     ks_noise_stddev: float
 
     max_parties: int = 1
+
+    # Nearest-rounding ("balanced") gadget decomposition in the bootstrap's
+    # external products. False = the reference-exact truncating construction
+    # (src/tgsw.jl:99-117), whose -ulp/2 rounding bias adds O(N * B^-l)
+    # phase error per CMUX step (noise.py:decompose_bias_var). True removes
+    # the bias the same way the reference's own keyswitch rounds
+    # (src/keyswitch.jl:58-59), enabling short-gadget geometries (l*b = 16).
+    gadget_balanced: bool = False
 
     # --- derived (used throughout the kernels) ---
 
@@ -95,49 +104,53 @@ def tfhe_parameters_128(tlwe_mask_size: int = 1) -> SchemeParameters:
 
 
 def tfhe_parameters_128_fast() -> SchemeParameters:
-    """~128-bit preset retuned for the TPU's MXU cost model (k=2, N=512).
+    """~128-bit preset retuned for the TPU's MXU cost model (k=4, N=256).
 
     The reference's 128-bit preset (src/api.jl:55-69: k=1, N=1024, bs l=3
     b=7) caps the v5e at ~9,950 gates/s: per-gate byte-MACs scale as
-    n * macs(plan) * (k+1)^2 * l * N^2, so the algorithmic levers are the
-    scheme parameters themselves. This preset keeps every lattice instance
-    IDENTICAL to the reference's and re-splits the ring geometry:
+    n * macs(plan) * (k+1)^2 * l * N^2 but the RING dimension k*N is what
+    security sees — so re-splitting the ring is an algorithmic lever the
+    scheduler cannot reach. This preset keeps every lattice instance
+    IDENTICAL to the reference's:
 
-    * TLWE: k=2 masks of degree N=512 instead of k=1 of N=1024 — the SAME
+    * TLWE: k=4 masks of degree N=256 instead of k=1 of N=1024 — the SAME
       unstructured-LWE instance (dimension k*N=1024, modulus 2^32, binary
-      secret, sigma 2^-25); module-LWE rank 2 over X^512+1 is not known to
+      secret, sigma 2^-25); module-LWE rank 4 over X^256+1 is not known to
       be weaker than ring-LWE over X^1024+1 at equal dimension, and
       lattice-estimator methodology rates both through that LWE instance.
-      Effect: (k+1)^2 * N^2 drops 8/9... with the depth-2 block-Karatsuba
-      plan the super-block MAC count falls 40 -> 10 (ops/karatsuba.py).
-    * Gadget: l=3 at base 2^7 — unchanged from the reference. (l=2 at
-      base 2^8 was measured 8% cheaper still, but the gadget's
-      reference-exact decomposition carries a -ulp/2 rounding BIAS whose
-      key-convolved phase error scales as 2^-(l*b)*N*sqrt(k/12) per step —
-      measured 2.4e-3/step at l*b=16, acceptable 1.1e-4 at l*b=21; see
-      `decompose_balanced_var` in noise.py and tools/derive_fast_params.py.)
+    * Gadget: l=2 at base 2^8 with the BALANCED (nearest-rounding)
+      decomposition — the reference-exact truncating gadget carries a
+      -ulp/2 rounding bias whose key-convolved phase error scales as
+      2^-(l*b) * N * sqrt(k) per step (measured 2.4e-3/step at l*b=16 at
+      k=2 N=512 — broken; noise.py:decompose_bias_var). Balancing the
+      gadget the way the reference's own keyswitch already rounds
+      (src/keyswitch.jl:58-59) makes l*b=16 safe.
     * LWE (n=630, sigma 2^-15) and keyswitch (n_in = k*N = 1024, l=8,
       base 4, sigma 2^-15): unchanged.
 
-    Net: 11.1G byte-MACs/gate vs 19.8G — algorithmic ceiling ~17,700
-    gates/s on v5e. Margin analysis (tools/derive_fast_params.py, honest
-    noise model tfhe_tpu/noise.py incl. the measured bias term): worst
-    2-input gate decision margin is >= 16 sigma. Asserted by
+    Net: 8.3G byte-MACs/gate vs 19.8G — algorithmic ceiling ~23,900
+    gates/s on v5e; measured 17,400 gates/s (4096/4096 correct). Margin
+    analysis (tools/derive_fast_params.py; honest noise model
+    tfhe_tpu/noise.py): worst 2-input gate decision margin is 9.7 sigma on
+    the conservative model (failure < 3e-22/gate) and ~11 sigma against
+    measured noise — vs 19 sigma for the reference preset; the dominant
+    term is the coarser 2N = 512 modulus switch. Asserted by
     tests/test_noise_model.py. For multi-valued PBS/radix (margins finer
     than the boolean 1/8) keep `tfhe_parameters_128` — docs/params_fast.md.
     """
     return SchemeParameters(
         lwe_size=630,
         lwe_noise_stddev=2.0**-15,
-        tlwe_polynomial_degree=512,
-        tlwe_mask_size=2,
-        bs_decomp_length=3,
-        bs_log2_base=7,
+        tlwe_polynomial_degree=256,
+        tlwe_mask_size=4,
+        bs_decomp_length=2,
+        bs_log2_base=8,
         bs_noise_stddev=2.0**-25,
         ks_decomp_length=8,
         ks_log2_base=2,
         ks_noise_stddev=2.0**-15,
         max_parties=1,
+        gadget_balanced=True,
     )
 
 

@@ -32,26 +32,45 @@ def gadget_values(decomp_length: int, log2_base: int):
 
 
 @functools.lru_cache(maxsize=None)
-def decomp_offset(decomp_length: int, log2_base: int) -> int:
-    """offset = (B/2) * sum(gadget) as a wrapped int32. Reference: src/tgsw.jl:16-20."""
+def decomp_offset(decomp_length: int, log2_base: int,
+                  balanced: bool = False) -> int:
+    """offset = (B/2) * sum(gadget) as a wrapped int32. Reference: src/tgsw.jl:16-20.
+
+    With balanced=True, an extra half-ulp (2^(31 - l*b)) is folded in, which
+    turns the decomposition's truncation into ROUND-TO-NEAREST (ties toward
+    +inf): the reconstruction error becomes zero-mean in [-ulp/2, +ulp/2]
+    instead of carrying the reference construction's -ulp/2 bias — the bias
+    whose key-convolved phase error is O(N*ulp) per CMUX step
+    (noise.py:decompose_bias_var; docs/params_fast.md). The reference uses
+    the same nearest-rounding idea in its keyswitch (src/keyswitch.jl:58-59
+    `prec_offset`) but not in its gadget; `balanced` brings the gadget in
+    line. decompose(0) == 0 is preserved: 0 + ulp/2 truncates to 0.
+    """
     import numpy as np
 
     g = np.asarray(
         [1 << (32 - (i + 1) * log2_base) for i in range(decomp_length)], np.uint64
     )
     total = int(g.sum()) * (1 << (log2_base - 1))
+    if balanced and decomp_length * log2_base < 32:
+        # l*b == 32 decomposes exactly (ulp = 1): nothing to balance
+        total += 1 << (31 - decomp_length * log2_base)
     return int(np.uint32(total & 0xFFFFFFFF).astype(np.int32))
 
 
-def decompose(poly, decomp_length: int, log2_base: int):
+def decompose(poly, decomp_length: int, log2_base: int,
+              balanced: bool = False):
     """Signed base-2^b digit decomposition of a torus polynomial.
 
     poly: int32[..., N] -> int32[..., l, N], digits in [-B/2, B/2), satisfying
-    sum_j digit_j * gadget_j == poly rounded to l*b bits (exactly, mod 2^32).
-    decompose(0) == 0, which is what makes the branchless blind rotate exact
-    (SURVEY.md section 2 item 3). Reference: src/tgsw.jl:99-117.
+    sum_j digit_j * gadget_j == poly rounded to l*b bits (exactly, mod 2^32;
+    truncation-rounded for balanced=False — the reference-exact construction
+    — and nearest-rounded for balanced=True, see `decomp_offset`).
+    decompose(0) == 0 in BOTH modes, which is what makes the branchless
+    blind rotate exact (SURVEY.md section 2 item 3).
+    Reference: src/tgsw.jl:99-117.
     """
-    offset = jnp.int32(decomp_offset(decomp_length, log2_base))
+    offset = jnp.int32(decomp_offset(decomp_length, log2_base, balanced))
     mask = jnp.int32((1 << log2_base) - 1)
     half = jnp.int32(1 << (log2_base - 1))
     shifted = jnp.asarray(poly, jnp.int32) + offset
@@ -124,7 +143,8 @@ def prepare_tgsw(gsw, decomp_length: int, log2_base: int):
 
 
 def tgsw_extern_mul_prepared(accum: TLweSample, gsw_limbs,
-                             decomp_length: int, log2_base: int) -> TLweSample:
+                             decomp_length: int, log2_base: int,
+                             balanced: bool = False) -> TLweSample:
     """External product gsw (x) accum with a prepared (limb-split) TGSW operand.
 
     accum: TLweSample with a[B, k+1, N] (exactly one batch dim);
@@ -132,17 +152,17 @@ def tgsw_extern_mul_prepared(accum: TLweSample, gsw_limbs,
     Reference: src/tgsw.jl:125-129.
     """
     b, kp1, n = accum.a.shape
-    digits = decompose(accum.a, decomp_length, log2_base)  # [B, k+1, l, N]
+    digits = decompose(accum.a, decomp_length, log2_base, balanced)
     digits = digits.reshape(b, kp1 * decomp_length, n)  # j-major
     out = conv.poly_mul_prepared(digits, gsw_limbs, log2_base - 1)
     return TLweSample(out, accum.cv)
 
 
 def tgsw_extern_mul(accum: TLweSample, gsw, decomp_length: int,
-                    log2_base: int) -> TLweSample:
+                    log2_base: int, balanced: bool = False) -> TLweSample:
     """External product against a coefficient-domain TGSW sample
     (gsw: int32[l, k+1, k+1, N]); accum batched [B, k+1, N]."""
     return tgsw_extern_mul_prepared(
         accum, prepare_tgsw(gsw, decomp_length, log2_base),
-        decomp_length, log2_base,
+        decomp_length, log2_base, balanced,
     )

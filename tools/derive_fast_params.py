@@ -56,12 +56,13 @@ def mod_switch_var(n: int, poly_degree: int) -> float:
     return (n * 0.5 + 1) * per
 
 
-def gate_sigma(k: int, big_n: int, l: int, b: int, amp: int) -> float:
+def gate_sigma(k: int, big_n: int, l: int, b: int, amp: int,
+               balanced: bool = False) -> float:
     """Stddev of the phase error at the blind-rotation decision point for a
     gate whose affine combo multiplies each input ciphertext by `amp`
     (|amp| = 1 for NAND/AND/OR..., 2 for XOR/XNOR), two bootstrapped inputs."""
     v_out = (
-        blind_rotate_var(N_LWE, k, l, b, big_n, SIGMA_BS)
+        blind_rotate_var(N_LWE, k, l, b, big_n, SIGMA_BS, balanced)
         + keyswitch_var(k * big_n, KS_L, KS_B, SIGMA_KS)
     )
     v_in = 2 * (amp**2) * v_out
@@ -72,7 +73,8 @@ def failure(margin: float, sigma: float) -> float:
     return math.erfc(margin / (sigma * math.sqrt(2.0)))
 
 
-def analyse(tag: str, k: int, big_n: int, l: int, b: int, depth: int):
+def analyse(tag: str, k: int, big_n: int, l: int, b: int, depth: int,
+            balanced: bool = False):
     m = big_n // T
     depth = min(depth, m.bit_length() - 1)
     plan = karatsuba_plan(m, depth, b)
@@ -80,8 +82,8 @@ def analyse(tag: str, k: int, big_n: int, l: int, b: int, depth: int):
     byte_macs = N_LWE * plan.macs_superblocks * (p * T) * (kk * 4 * T)
     ceiling = V5E_BYTE_MACS / byte_macs
     key_gb = N_LWE * plan.total_rows * p * T * kk * 4 * T / 2**30
-    s1 = gate_sigma(k, big_n, l, b, 1)
-    s2 = gate_sigma(k, big_n, l, b, 2)
+    s1 = gate_sigma(k, big_n, l, b, 1, balanced)
+    s2 = gate_sigma(k, big_n, l, b, 2, balanced)
     f1 = failure(1.0 / 8, s1)   # NAND/AND/OR/...: phases +-1/8, margin 1/8
     f2 = failure(1.0 / 4, s2)   # XOR/XNOR: phases +-1/4, margin 1/4
     print(f"{tag:28s} byteMACs/gate={byte_macs/1e9:6.1f}G "
@@ -94,11 +96,12 @@ def analyse(tag: str, k: int, big_n: int, l: int, b: int, depth: int):
 if __name__ == "__main__":
     print("reference-identical lattice instances (k*N=1024, sigma 2^-25):")
     analyse("128 (reference: k1 N1024 l3b7)", 1, 1024, 3, 7, 2)
-    analyse("128_fast (k2 N512 l3 b7)", 2, 512, 3, 7, 2)
+    analyse("k2 N512 l3 b7 (biased ok)", 2, 512, 3, 7, 2)
     # The l*b = 16 geometries are CHEAPER on the MXU but are ruled out by
     # the decomposition-bias term (noise.py:decompose_bias_var) on the
-    # reference-exact (biased) decomposition: 1.4 sigma = broken. A
-    # zero-mean ("balanced") decomposition would re-enable them.
-    analyse("ruled out: k2 N512 l2 b8", 2, 512, 2, 8, 2)
-    analyse("ruled out: k1 N1024 l2 b8", 1, 1024, 2, 8, 2)
-    analyse("ruled out: k4 N256 l2 b8", 4, 256, 2, 8, 1)
+    # reference-exact (biased) decomposition: 1.4 sigma = broken. The
+    # zero-mean BALANCED decomposition (gadget_balanced=True, the shipped
+    # 128_fast) re-enables them.
+    analyse("biased k2 N512 l2 b8: BROKEN", 2, 512, 2, 8, 2)
+    analyse("128_fast (balanced l2 b8)", 2, 512, 2, 8, 2, balanced=True)
+    analyse("balanced k4 N256 l2 b8", 4, 256, 2, 8, 1, balanced=True)
