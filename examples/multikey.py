@@ -60,10 +60,15 @@ def main():
     print("all trials correct")
 
     # Distributed decryption: no secret key ever leaves its party — each
-    # publishes one smudged share and anyone combines them.
+    # publishes one smudged share and anyone combines them. A BOOTSTRAPPED
+    # 2-party ciphertext carries ~0.05 phase noise, so smudging-lemma
+    # flooding is impossible on the 32-bit torus (the calibrated
+    # statistical_security mode would refuse); the explicit stddev floods
+    # at the fresh-encryption scale and the docstring's budget notes apply.
     shares = [
         mk.mk_partial_decrypt(jax.random.PRNGKey(900 + p),
-                              secret_keys[p], enc_out, p)
+                              secret_keys[p], enc_out, p,
+                              smudging_stddev=2.0**-15)
         for p in range(parties)
     ]
     dist = np.asarray(mk.mk_combine_shares(enc_out, shares))

@@ -408,8 +408,13 @@ def test_mk_distributed_decryption():
     out = mk.mk_gate_nand(ck, ct_x, ct_y)
 
     for ct, want in ((ct_x, xs), (out, ~(xs & ys))):
+        # fresh ciphertexts calibrate by the smudging lemma; the toy
+        # bootstrapped output's cv is too large for any statistical bits
+        # (the guard refuses, asserted below) so it passes explicit sigma
         shares = [
-            mk.mk_partial_decrypt(jax.random.PRNGKey(100 + p), sks[p], ct, p)
+            mk.mk_partial_decrypt(
+                jax.random.PRNGKey(100 + p), sks[p], ct, p,
+                smudging_stddev=2.0**-15)
             for p in range(parties)
         ]
         np.testing.assert_array_equal(
@@ -418,3 +423,56 @@ def test_mk_distributed_decryption():
         np.testing.assert_array_equal(
             np.asarray(mk.mk_combine_shares(ct, shares)),
             np.asarray(mk.mk_decrypt(sks, ct)))
+
+    # calibrated mode: a fresh encryption affords ~10 bits of smudging on
+    # the 32-bit torus; correctness must survive the calibrated flooding
+    shares = [
+        mk.mk_partial_decrypt(jax.random.PRNGKey(300 + p), sks[p], ct_x, p,
+                              statistical_security=8)
+        for p in range(parties)
+    ]
+    np.testing.assert_array_equal(
+        np.asarray(mk.mk_combine_shares(ct_x, shares)), np.asarray(xs))
+    # the guard refuses calibrations that break the decision margin, and
+    # refuses ambiguous calls
+    with pytest.raises(ValueError, match="decision margin"):
+        mk.mk_partial_decrypt(jax.random.PRNGKey(0), sks[0], ct_x, 0,
+                              statistical_security=40)
+    with pytest.raises(ValueError, match="exactly one"):
+        mk.mk_partial_decrypt(jax.random.PRNGKey(0), sks[0], ct_x, 0)
+
+
+def test_mk_share_hiding():
+    """The smudging-lemma calibration actually hides the share's
+    key-dependent content: at statistical_security=lam, share distributions
+    arising from DIFFERENT secret values are ~2^-lam-close. Measured as a
+    histogram total-variation distance over many draws of the smudge."""
+    lam = 4
+    sigma_share = 2.0**-15
+    n_draws = 200_000
+    rng = np.random.default_rng(5)
+    # two candidate share centres one share-noise-unit apart (the secret-
+    # dependent variation smudging must hide)
+    delta = int(sigma_share * 2**32)
+    smudge_sigma = (2.0**lam) * sigma_share
+    draws = rng.normal(0.0, smudge_sigma * 2**32, n_draws)
+    s0 = np.round(draws).astype(np.int64)
+    s1 = np.round(draws + delta).astype(np.int64)
+    lo = min(s0.min(), s1.min())
+    hi = max(s0.max(), s1.max())
+    bins = np.linspace(lo, hi, 201)
+    h0, _ = np.histogram(s0, bins=bins)
+    h1, _ = np.histogram(s1, bins=bins)
+    tv = 0.5 * np.abs(h0 / n_draws - h1 / n_draws).sum()
+    # smudging lemma: TV <= ~delta / (sigma * sqrt(2 pi)) = 2^-lam / 2.5;
+    # allow generous Monte-Carlo slack
+    assert tv < 3.0 * 2.0**-lam, tv
+    # and WITHOUT smudging at scale, the same delta is fully visible
+    small = rng.normal(0.0, sigma_share * 2**32 / 4, n_draws)
+    u0 = np.round(small).astype(np.int64)
+    u1 = np.round(small + delta).astype(np.int64)
+    bins = np.linspace(min(u0.min(), u1.min()), max(u0.max(), u1.max()), 201)
+    g0, _ = np.histogram(u0, bins=bins)
+    g1, _ = np.histogram(u1, bins=bins)
+    tv_exposed = 0.5 * np.abs(g0 / n_draws - g1 / n_draws).sum()
+    assert tv_exposed > 0.9, tv_exposed

@@ -140,3 +140,29 @@ def test_fast_preset_margins():
         for margin, amp in [(0.125, 1), (0.25, 2)]:
             sigma = math.sqrt(2 * amp * amp * v_out + v_ms)
             assert margin / sigma >= floor, (params, margin, margin / sigma)
+
+
+def test_mk_lownoise_preset_margin():
+    """`mktfhe_parameters_2party_lownoise` pushes the 2-party gate failure
+    from the reference preset's ~1.5%/gate to < 1e-12/gate (model;
+    docs/mk_noise_budget.md derives ~1e-18 with the measured effective
+    discretized sigma)."""
+    import math
+
+    import tfhe_tpu.mk as mk
+    from tfhe_tpu.noise import mk_blind_rotate_var
+
+    def gate_failure(params, parties):
+        v_rot = mk_blind_rotate_var(
+            parties, params.lwe_size, params.bs_decomp_length,
+            params.bs_log2_base, params.tlwe_polynomial_degree,
+            params.bs_noise_stddev)
+        sigma = math.sqrt(v_rot)
+        return math.erfc(0.125 / (sigma * math.sqrt(2.0)))
+
+    loose = gate_failure(mk.mktfhe_parameters_2party(), 2)
+    strict = gate_failure(mk.mktfhe_parameters_2party_lownoise(), 2)
+    assert loose > 1e-3, loose      # the reference preset really is lossy
+    # model uses the NOMINAL sigma; with the measured discretized
+    # sigma_eff ~ 0.76x the bound is ~1e-18 (docs/mk_noise_budget.md)
+    assert strict < 1e-10, strict   # the named stricter preset is not

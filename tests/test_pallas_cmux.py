@@ -159,3 +159,39 @@ def test_blind_rotate_pallas_dispatch(rng, monkeypatch):
     monkeypatch.setenv("TFHE_TPU_CMUX", "pallas")
     got = bs.blind_rotate(acc, bk, bara).a
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_debug_mode_crosschecks(rng, monkeypatch):
+    """TFHE_TPU_DEBUG=1: blind_rotate crosschecks engine vs XLA and raises
+    FHEDebugError on injected corruption; clean runs return the XLA bits."""
+    from tfhe_tpu import tuning
+    from tfhe_tpu.debug import FHEDebugError
+    import tfhe_tpu.ops.pallas_cmux as pc
+
+    n, l, b, k1, n_lwe, batch = 64, 3, 7, 2, 4, 4
+    gsw = rand_t32(rng, (n_lwe, l, k1, k1, n))
+    bk = bs.bootstrap_key_from_raw(gsw, l, b, depth=2)
+    acc0 = rand_t32(rng, (batch, k1, n))
+    bara = rng.integers(0, 2 * n, size=(batch, n_lwe)).astype(np.int32)
+    acc = tlwe_mod.TLweSample(acc0, np.zeros(batch, np.float32))
+
+    monkeypatch.setenv("TFHE_TPU_CMUX", "pallas")  # force the engine on CPU
+    with tuning.override(cmux="pallas", debug=True):
+        got = bs.blind_rotate(acc, bk, bara).a
+    with tuning.override(cmux="xla"):
+        want = bs.blind_rotate(acc, bk, bara).a
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # fault injection: corrupt the engine output; debug mode must raise
+    real = pc.blind_rotate_pallas_karatsuba
+
+    def corrupted(*args, **kw):
+        out = real(*args, **kw)
+        return out.at[0, 0, 0].add(1)
+
+    monkeypatch.setattr(pc, "blind_rotate_pallas_karatsuba", corrupted)
+    monkeypatch.setattr(
+        pc, "blind_rotate_pallas_pipelined", corrupted)
+    with tuning.override(cmux="pallas", debug=True):
+        with pytest.raises(FHEDebugError, match="crosscheck failed"):
+            np.asarray(bs.blind_rotate(acc, bk, bara).a)

@@ -232,6 +232,15 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
     """
     l, b, t = bk.decomp_length, bk.log2_base, bk.block
 
+    from .tuning import get_tuning
+
+    if get_tuning().debug and _use_pallas_cmux():
+        # opt-in safe mode: engine-vs-XLA bit crosscheck + gadget
+        # invariants on live data (tfhe_tpu/debug.py)
+        from .debug import crosscheck_blind_rotate
+
+        return crosscheck_blind_rotate(accum, bk, bara)
+
     interpret = jax.default_backend() != "tpu"
     if bk.depth:
         plan = bk.plan

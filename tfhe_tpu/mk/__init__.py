@@ -18,6 +18,7 @@ from .api import (
     mk_partial_decrypt,
     mk_combine_shares,
     mktfhe_parameters_2party,
+    mktfhe_parameters_2party_lownoise,
     mktfhe_parameters_4party,
     mktfhe_parameters_8party,
     mktfhe_parameters_toy,

@@ -13,6 +13,8 @@ from __future__ import annotations
 import dataclasses
 import functools
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -39,6 +41,27 @@ def mktfhe_parameters_2party() -> SchemeParameters:
         lwe_size=500, lwe_noise_stddev=0.012467,
         tlwe_polynomial_degree=1024, tlwe_mask_size=1,
         bs_decomp_length=4, bs_log2_base=7, bs_noise_stddev=3.29e-10,
+        ks_decomp_length=8, ks_log2_base=2, ks_noise_stddev=2.44e-5,
+        max_parties=2,
+    )
+
+
+def mktfhe_parameters_2party_lownoise() -> SchemeParameters:
+    """2-party preset with the 4-party bootstrap gadget (l=5, base 2^6).
+
+    The reference's own 2-party preset carries an intrinsic ~1.5%/gate
+    failure rate (docs/mk_noise_budget.md: sigma_rot ~ 0.054 against the
+    0.125 margin — its own 10-trial CI goes red ~14% of the time). Deepening
+    the gadget to the 4-party preset's (5, 2^6) at 2 parties cuts the
+    rotation noise to sigma_rot ~ 0.014: failure < 1e-18/gate, at ~0.8x the
+    throughput (5/4 more decomposition rows per step). Asserted by
+    tests/test_noise_model.py::test_mk_lownoise_preset_margin; on-chip
+    throughput in STATUS.md.
+    """
+    return SchemeParameters(
+        lwe_size=500, lwe_noise_stddev=0.012467,
+        tlwe_polynomial_degree=1024, tlwe_mask_size=1,
+        bs_decomp_length=5, bs_log2_base=6, bs_noise_stddev=3.29e-10,
         ks_decomp_length=8, ks_log2_base=2, ks_noise_stddev=2.44e-5,
         max_parties=2,
     )
@@ -208,21 +231,62 @@ def mk_decrypt(secret_keys, sample: MKLweSample) -> jax.Array:
 
 
 def mk_partial_decrypt(rng, secret_key: SecretKey, sample: MKLweSample,
-                       party: int, smudging_stddev: float | None = None):
+                       party: int, smudging_stddev: float | None = None,
+                       statistical_security: float | None = None):
     """One party's decryption share: <a_party, s_party> + smudging noise.
 
     Distributed decryption removes the reference's all-keys-in-one-place
     limitation (its own TODO, reference issue #6 at src/mk_api.jl:110):
     each party publishes only this share, and `mk_combine_shares` finishes
-    the decryption without any secret key. The smudging noise statistically
-    hides s_party's contribution beyond the plaintext; its stddev must be
-    calibrated to the deployment's security target (the default reuses the
-    fresh-encryption sigma, which keeps correctness untouched — callers
-    wanting stronger share-hiding pass a larger value and re-check the
-    noise budget in docs/mk_noise_budget.md).
+    the decryption without any secret key.
+
+    The smudging noise must drown the share's key-dependent content, and
+    there is no safe universal default — so the caller must choose exactly
+    one of:
+
+    * `statistical_security=lam`: the standard smudging-lemma calibration
+      sigma_smudge = 2^lam * sigma_share, where sigma_share is the honest
+      noise bound carried on the ciphertext (`sample.cv`) — the share
+      distribution then sits within ~2^-lam statistical distance of one
+      computed from any same-plaintext ciphertext. A correctness guard
+      rejects calibrations whose combined flooding would break decryption
+      (all parties' smudges add into `mk_combine_shares`): on the 32-bit
+      torus this caps achievable lam at ~log2(margin / sigma_share) —
+      ~10 bits for FRESH ciphertexts at the shipped presets and ~0 bits
+      for BOOTSTRAPPED ones (sigma ~0.05 at the reference's 2-party
+      preset). That is an intrinsic limitation of a 32-bit modulus, not of
+      this implementation; deployments needing 40+ smudging bits use
+      larger-modulus threshold schemes. docs/mk_noise_budget.md section
+      "share flooding" has the arithmetic; the hiding claim is tested in
+      tests/test_mk.py.
+    * `smudging_stddev`: an explicit stddev, for callers who have done the
+      calibration themselves (no guard applied beyond the torus range).
     """
-    if smudging_stddev is None:
-        smudging_stddev = secret_key.params.lwe_noise_stddev
+    parties = sample.a.shape[-2]
+    if (smudging_stddev is None) == (statistical_security is None):
+        raise ValueError(
+            "pass exactly one of smudging_stddev / statistical_security "
+            "(there is no safe default flooding noise; see docstring)")
+    if statistical_security is not None:
+        sigma_share = float(jnp.max(sample.cv)) ** 0.5
+        if sigma_share == 0.0:
+            raise ValueError(
+                "sample.cv carries no noise estimate; pass an explicit "
+                "smudging_stddev")
+        smudging_stddev = (2.0 ** statistical_security) * sigma_share
+        # correctness guard: combined flooding of all parties' shares must
+        # leave >= 4 sigma of the boolean 1/8 decision margin
+        total = (sigma_share**2 + parties * smudging_stddev**2) ** 0.5
+        if 4.0 * total > 0.125:
+            max_lam = math.log2(
+                ((0.125 / 4.0) ** 2 / parties) ** 0.5 / sigma_share)
+            raise ValueError(
+                f"statistical_security={statistical_security} needs "
+                f"sigma_smudge={smudging_stddev:.3g}, but {parties} such "
+                f"shares break the 1/8 decision margin "
+                f"(4*sigma_total={4 * total:.3g}); max achievable on this "
+                f"ciphertext is ~{max_lam:.1f} bits — use lower-noise "
+                "parameters or an explicit smudging_stddev")
     dot = jnp.sum(
         sample.a[..., party, :] * secret_key.key, axis=-1, dtype=jnp.int32
     )

@@ -28,7 +28,11 @@ def main():
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     segments = int(os.environ.get("MK_BENCH_SEGMENTS", "1"))
-    params = {2: mk.mktfhe_parameters_2party,
+    # MK_BENCH_LOWNOISE=1 benches the stricter 2-party preset
+    # (mktfhe_parameters_2party_lownoise: failure <1e-18 vs ~1.5%/gate)
+    lownoise = os.environ.get("MK_BENCH_LOWNOISE") == "1"
+    params = {2: (mk.mktfhe_parameters_2party_lownoise if lownoise
+                  else mk.mktfhe_parameters_2party),
               4: mk.mktfhe_parameters_4party,
               8: mk.mktfhe_parameters_8party}[parties]()
     print(f"mk bench: parties={parties} batch={batch} "
