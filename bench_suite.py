@@ -127,6 +127,26 @@ def main():
     emit("batched_nand_throughput_128bit", B * iters / (time.time() - t0),
          "gates/s", {"batch": B})
 
+    # --- 3a: batched NAND at the TPU-retuned 128-bit preset (the bench.py
+    # headline config; same lattice instances/security — docs/params_fast.md)
+    del bx, by
+    pfast = tt.tfhe_parameters_toy() if small else tt.tfhe_parameters_128_fast()
+    skf, ckf = jax.jit(tt.make_key_pair, static_argnums=1)(
+        jax.random.PRNGKey(17), pfast
+    )
+    jax.block_until_ready(ckf.bootstrap_key.baked)
+    fx = tt.encrypt(jax.random.PRNGKey(18), skf, jnp.arange(B) % 2 == 0)
+    fy = tt.encrypt(jax.random.PRNGKey(19), skf, jnp.arange(B) % 3 == 0)
+    nandf = jax.jit(gates.gate_nand)
+    outf = nandf(ckf, fx, fy); jax.block_until_ready(outf)
+    t0 = time.time()
+    for _ in range(iters):
+        outf = nandf(ckf, outf, fy)
+    jax.block_until_ready(outf)
+    emit("batched_nand_throughput_128fast", B * iters / (time.time() - t0),
+         "gates/s", {"batch": B})
+    del skf, ckf, fx, fy, outf
+
     # --- 3b: programmable bootstrapping (4-entry LUT) throughput ---
     from tfhe_tpu import pbs as pbs_mod
 

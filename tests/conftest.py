@@ -37,6 +37,11 @@ def rng():
     return np.random.default_rng(123)
 
 
+# The XLA:CPU segfault workaround below can be disabled for reproduction
+# runs with TFHE_TPU_TEST_NOCLEAR=1 (see the fixture docstrings).
+_NOCLEAR = os.environ.get("TFHE_TPU_TEST_NOCLEAR") == "1"
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """Drop trace/compile caches after each test module.
@@ -48,7 +53,8 @@ def _clear_jax_caches_between_modules():
     suite's memory growth as a side effect.
     """
     yield
-    jax.clear_caches()
+    if not _NOCLEAR:
+        jax.clear_caches()
 
 
 _TESTS_SINCE_CLEAR = [0]
@@ -64,8 +70,14 @@ def _clear_jax_caches_periodically():
     module-boundary clearing alone no longer bounds the compiler's working
     set. A periodic clear costs a few recompiles per module and keeps the
     accumulated compiled state far below the crash threshold.
+
+    Reproduction / status: TFHE_TPU_TEST_NOCLEAR=1 disables both clearing
+    fixtures to re-probe whether the installed jaxlib still crashes
+    (tools/xla_cpu_crash_probe.sh records the per-version result).
     """
     yield
+    if _NOCLEAR:
+        return
     _TESTS_SINCE_CLEAR[0] += 1
     if _TESTS_SINCE_CLEAR[0] >= _CLEAR_EVERY:
         _TESTS_SINCE_CLEAR[0] = 0

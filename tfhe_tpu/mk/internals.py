@@ -418,7 +418,8 @@ def _mk_bake_block(steps: int, p: int, kk: int, n: int,
     (size = steps * 2N * P * K*4 * T bytes); 0 = stay on the prepared path."""
     from ..tuning import get_tuning
 
-    budget = get_tuning().mk_bake_budget or budget_bytes
+    knob = get_tuning().mk_bake_budget
+    budget = budget_bytes if knob < 0 else knob  # 0 forces the prepared path
     for t in (64, 32, 16):
         if n % t or n // t < 2:
             continue
@@ -630,7 +631,12 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
             static_argnums=3,
         )
         acc_a = accum.a
-        use_mega = get_tuning().mk_mega
+        mega_mode = get_tuning().mk_mega
+        # measured round 3 (batch 4096): the acc-resident chunk wins ~1% at
+        # 4 parties and loses ~2% at 2 (the per-step HBM round-trip is fully
+        # overlapped there) — auto picks per party count
+        use_mega = (bk.parties >= 4 if mega_mode == "auto"
+                    else mega_mode == "1")
         for party in range(bk.parties):
             nz = mk_nonzero_blocks(party, bk.parties)
             step = make_step(nz)

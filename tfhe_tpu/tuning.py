@@ -49,11 +49,14 @@ class TuningConfig:
     pslots: int = 6             # pipelined megakernel shared E-ring slots
     # --- multi-key ---
     mk_btk: int = 0             # MK kernel batch tile; 0 = largest VMEM fit
-    mk_bake_budget: int = 0     # bytes for the MK XLA-path bake; 0 = default
+    mk_bake_budget: int = -1    # bytes for the MK XLA-path bake;
+                                # -1 = caller default, 0 = force prepared
     mk_sparse_limbs: str = "auto"  # auto|0|1: sparse nonzero-block storage
     mk_cmux: str = "auto"       # auto|expand|prepared|xla
     mk_chunk: int = 0           # steps per MK megakernel launch; 0 = auto
-    mk_mega: bool = True        # chunked MK megakernel fast path
+    mk_mega: str = "auto"       # chunked MK megakernel: auto|0|1 (auto =
+                                # parties >= 4; measured r3: 2-party 1567 vs
+                                # 1604 per-step, 4-party 386 vs 382)
     # --- result-affecting ---
     radix_manylut: bool = True  # PBSmanyLUT pairs (coarser mod switch)
     pipe_ablate: str = ""       # timing-only ablations: results are WRONG
