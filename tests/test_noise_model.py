@@ -166,3 +166,28 @@ def test_mk_lownoise_preset_margin():
     # model uses the NOMINAL sigma; with the measured discretized
     # sigma_eff ~ 0.76x the bound is ~1e-18 (docs/mk_noise_budget.md)
     assert strict < 1e-10, strict   # the named stricter preset is not
+
+
+def test_pbs_preset_margins():
+    """`tfhe_parameters_128_pbs` keeps >= 8 sigma for 4-entry LUT buckets
+    (margin 1/16) on chained PBS inputs; the boolean-tuned fast preset
+    does NOT (which is why the PBS preset exists)."""
+    import math
+
+    from tfhe_tpu.noise import blind_rotate_var, keyswitch_var
+
+    def lut4_margin_sigmas(params):
+        v_out = blind_rotate_var(
+            params.lwe_size, params.tlwe_mask_size, params.bs_decomp_length,
+            params.bs_log2_base, params.tlwe_polynomial_degree,
+            params.bs_noise_stddev, params.gadget_balanced,
+        ) + keyswitch_var(
+            params.extracted_size, params.ks_decomp_length,
+            params.ks_log2_base, params.ks_noise_stddev,
+        )
+        two_n = 2 * params.tlwe_polynomial_degree
+        v_ms = (params.lwe_size * 0.5 + 1) * (1.0 / two_n) ** 2 / 12.0
+        return (1.0 / 16) / math.sqrt(v_out + v_ms)
+
+    assert lut4_margin_sigmas(tt.tfhe_parameters_128_pbs()) >= 8.0
+    assert lut4_margin_sigmas(tt.tfhe_parameters_128_fast()) < 8.0

