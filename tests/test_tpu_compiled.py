@@ -109,3 +109,30 @@ def test_mk_sparse_kernels_compiled(parties, party):
     got = mk_blind_rotate_pallas_chunk(
         jnp.asarray(acc0), jnp.stack(e_steps), jnp.asarray(bara), **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fast_preset_compiled_vs_xla(monkeypatch):
+    """The SHIPPED preset's geometry (k=4, N=256, balanced l=2 b=8 gadget)
+    through the compiled megakernels == the XLA path, bitwise — the
+    headline bench path gets the same regression guard as the 80-bit one."""
+    params = tt.tfhe_parameters_128_fast()
+    sk, ck = jax.jit(tt.make_key_pair, static_argnums=1)(
+        jax.random.PRNGKey(321), params)
+    jax.block_until_ready(ck.bootstrap_key.baked)
+    batch = 512
+    bits_x = jnp.arange(batch) % 2 == 0
+    bits_y = jnp.arange(batch) % 3 == 0
+    x = tt.encrypt(jax.random.PRNGKey(1), sk, bits_x)
+    y = tt.encrypt(jax.random.PRNGKey(2), sk, bits_y)
+
+    monkeypatch.setenv("TFHE_TPU_CMUX", "xla")
+    want = gates.gate_nand(ck, x, y)
+    for pipe in ("0", "1"):
+        monkeypatch.setenv("TFHE_TPU_CMUX", "pallas")
+        monkeypatch.setenv("TFHE_TPU_PIPE", pipe)
+        got = gates.gate_nand(ck, x, y)
+        np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+        np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    np.testing.assert_array_equal(
+        np.asarray(tt.decrypt(sk, want)),
+        ~(np.asarray(bits_x) & np.asarray(bits_y)))
