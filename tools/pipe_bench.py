@@ -31,7 +31,13 @@ from tfhe_tpu.utils.sync import device_barrier, prime_sync
 
 def main():
     prime_sync()
-    n, k1, l, b, t, steps = 1024, 2, 3, 7, 128, 630
+    # PIPE_GEOM: 128 (reference geometry, default) | fast (the shipped
+    # k=4 N=256 l=2 b=8 preset geometry)
+    geom = os.environ.get("PIPE_GEOM", "128")
+    if geom == "fast":
+        n, k1, l, b, t, steps = 256, 5, 2, 8, 128, 630
+    else:
+        n, k1, l, b, t, steps = 1024, 2, 3, 7, 128, 630
     depth = int(os.environ.get("PIPE_DEPTH", "2"))
     batch = int(os.environ.get("PIPE_BATCH", "4096"))
     iters = int(os.environ.get("PIPE_ITERS", "3"))
