@@ -33,11 +33,16 @@ import spec.oracle as oracle
 import spec.oracle_mk as oracle_mk
 from spec.oracle import w32
 
-# --- 2-party production preset (reference: src/mk_api.jl:4-10) ---
+# --- 2-party production preset (reference: src/mk_api.jl:4-10);
+# candidate gadgets via MC_BSL / MC_BSB / MC_BALANCED env (round-3
+# retuning: see mktfhe_parameters_2party_* in tfhe_tpu/mk/api.py) ---
 N_LWE = 500
 ALPHA_LWE = 0.012467
 N_POLY = 1024
-BS_L, BS_B, BS_ALPHA = 4, 7, 3.29e-10
+BS_L = int(os.environ.get("MC_BSL", "4"))
+BS_B = int(os.environ.get("MC_BSB", "7"))
+BS_ALPHA = 3.29e-10
+BALANCED = os.environ.get("MC_BALANCED", "0") == "1"
 KS_L, KS_B, KS_ALPHA = 8, 2, 2.44e-5
 PARTIES = 2
 MU = np.int64(np.int32(1 << 29))  # encode_message(1, 8)
@@ -157,7 +162,7 @@ def one_gate(rng, parties, exps, ks_tables):
     lin_b = np.int32(w32(np.int64(MU) - xb - yb))
     # oracle layout: masks [n, parties]
     u_a, u_b = oracle_mk.mk_bootstrap_wo_keyswitch(
-        exps, np.int32(MU), lin_a.T, lin_b, N_POLY, BS_L, BS_B)
+        exps, np.int32(MU), lin_a.T, lin_b, N_POLY, BS_L, BS_B, BALANCED)
     pre_phase = int(w32(np.int64(u_b) - sum(
         (u_a[i].astype(np.int64) * parties[i]["tlwe"].astype(np.int64)).sum()
         for i in range(PARTIES))))
@@ -191,6 +196,7 @@ def main():
     pre = np.asarray(pre_errs)
     print(json.dumps({
         "event": "summary", "n_gates": n_gates,
+        "gadget": {"l": BS_L, "b": BS_B, "balanced": BALANCED},
         "out_sigma": float(errs.std()), "pre_ks_sigma": float(pre.std()),
         "failures": fails, "fail_rate": fails / n_gates,
     }), flush=True)

@@ -105,14 +105,14 @@ def mk_tgsw_expand(ue, party, pk_bs, decomp_length, log2_base):
 
 
 def mk_tgsw_extern_mul(sample_a, sample_b, exp, party, parties,
-                       decomp_length, log2_base):
+                       decomp_length, log2_base, balanced=False):
     """sample_a: [parties, N] masks; sample_b: [N] body; exp: dict from
     mk_tgsw_expand. Returns (a' [parties, N], b' [N])."""
     n = sample_b.shape[0]
     l = decomp_length
-    dec_a = np.stack([decompose(sample_a[i], l, log2_base)
+    dec_a = np.stack([decompose(sample_a[i], l, log2_base, balanced)
                       for i in range(parties)], axis=1)  # [l, parties, N]
-    dec_b = decompose(sample_b, l, log2_base)  # [l, N]
+    dec_b = decompose(sample_b, l, log2_base, balanced)  # [l, N]
 
     a_out = np.zeros((parties, n), np.int64)
     for i in range(parties):
@@ -139,18 +139,19 @@ def mk_tgsw_extern_mul(sample_a, sample_b, exp, party, parties,
 
 
 def mk_mux_rotate(acc_a, acc_b, exp, barai, party, parties,
-                  decomp_length, log2_base):
+                  decomp_length, log2_base, balanced=False):
     rot_a = np.stack([mul_by_monomial(p, barai) for p in acc_a])
     rot_b = mul_by_monomial(acc_b, barai)
     t_a = w32(rot_a.astype(np.int64) - acc_a.astype(np.int64))
     t_b = w32(rot_b.astype(np.int64) - acc_b.astype(np.int64))
     d_a, d_b = mk_tgsw_extern_mul(
-        t_a, t_b, exp, party, parties, decomp_length, log2_base)
+        t_a, t_b, exp, party, parties, decomp_length, log2_base, balanced)
     return (w32(acc_a.astype(np.int64) + d_a.astype(np.int64)),
             w32(acc_b.astype(np.int64) + d_b.astype(np.int64)))
 
 
-def mk_blind_rotate(acc_a, acc_b, exps, bara, decomp_length, log2_base):
+def mk_blind_rotate(acc_a, acc_b, exps, bara, decomp_length, log2_base,
+                    balanced=False):
     """exps: [parties][n] list of expanded samples; bara: [n, parties]."""
     parties = len(exps)
     n_lwe = len(exps[0])
@@ -159,12 +160,12 @@ def mk_blind_rotate(acc_a, acc_b, exps, bara, decomp_length, log2_base):
             if bara[j, i] != 0:
                 acc_a, acc_b = mk_mux_rotate(
                     acc_a, acc_b, exps[i][j], int(bara[j, i]), i, parties,
-                    decomp_length, log2_base)
+                    decomp_length, log2_base, balanced)
     return acc_a, acc_b
 
 
 def mk_bootstrap_wo_keyswitch(exps, mu, x_a, x_b, poly_degree,
-                              decomp_length, log2_base):
+                              decomp_length, log2_base, balanced=False):
     """x_a: [n, parties] masks (reference layout); x_b: scalar body."""
     parties = len(exps)
     bara = decode_message(x_a, poly_degree * 2).astype(np.int32)  # [n, parties]
@@ -174,7 +175,7 @@ def mk_bootstrap_wo_keyswitch(exps, mu, x_a, x_b, poly_degree,
     acc_a = np.zeros((parties, poly_degree), np.int32)
     acc_b = testvectbis
     acc_a, acc_b = mk_blind_rotate(
-        acc_a, acc_b, exps, bara, decomp_length, log2_base)
+        acc_a, acc_b, exps, bara, decomp_length, log2_base, balanced)
     # extract (src/mk_internals.jl:88-95)
     a = np.stack([reverse_polynomial(p) for p in acc_a])  # [parties, N]
     b = acc_b[0]

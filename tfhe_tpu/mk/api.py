@@ -195,6 +195,7 @@ def make_mk_cloud_key(parts) -> MKCloudKey:
         [p.key_uni_enc for p in parts], pk_bs,
         params.bs_decomp_length, params.bs_log2_base,
         noise_stddev=params.bs_noise_stddev,
+        balanced=params.gadget_balanced,
     )
     return MKCloudKey(params, parties, bk, tuple(p.keyswitch_key for p in parts))
 

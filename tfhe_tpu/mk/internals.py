@@ -380,7 +380,8 @@ def mk_keyswitch(ks_keys, sample: MKLweSample) -> MKLweSample:
     jax.tree_util.register_dataclass,
     data_fields=["limbs"],
     meta_fields=["parties", "lwe_size", "decomp_length", "log2_base",
-                 "polynomial_degree", "block", "noise_stddev", "sparse"],
+                 "polynomial_degree", "block", "noise_stddev", "sparse",
+                 "balanced"],
 )
 @dataclasses.dataclass(frozen=True)
 class MKBootstrapKey:
@@ -410,6 +411,7 @@ class MKBootstrapKey:
     block: int = 0
     noise_stddev: float = 0.0  # party keygen sigma, feeds the honest cv model
     sparse: bool = False
+    balanced: bool = False  # gate-time nearest-rounding gadget (tgsw.py)
 
 
 def _mk_bake_block(steps: int, p: int, kk: int, n: int,
@@ -430,7 +432,8 @@ def _mk_bake_block(steps: int, p: int, kk: int, n: int,
 
 def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
                      log2_base: int,
-                     noise_stddev: float = 0.0) -> MKBootstrapKey:
+                     noise_stddev: float = 0.0,
+                     balanced: bool = False) -> MKBootstrapKey:
     """Server-side expansion of all parties' uni-encrypted key bits.
 
     parts_ue: list of `parties` MKTGswUESample batches [n, 6, l, N];
@@ -485,7 +488,7 @@ def mk_bootstrap_key(parts_ue, pk_bs, decomp_length: int,
         limbs = conv.bake_block_toeplitz(limbs, t)
     return MKBootstrapKey(
         limbs, parties, n_lwe, decomp_length, log2_base, n, t, noise_stddev,
-        sparse,
+        sparse, balanced,
     )
 
 
@@ -568,7 +571,7 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
         depth = max(1, min(_default_depth() or 2,
                            (n // t).bit_length() - 1))
         plan = karatsuba_plan(n // t, depth, b)
-        offset = decomp_offset(l, b)
+        offset = decomp_offset(l, b, bk.balanced)
         k1 = bk.parties + 1
         n_lwe = bk.lwe_size
         interpret = jax.default_backend() != "tpu"
@@ -623,7 +626,7 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
 
         cv_out = accum.cv + mk_blind_rotate_var(
             bk.parties, bk.lwe_size, l, b, bk.polynomial_degree,
-            bk.noise_stddev)
+            bk.noise_stddev, bk.balanced)
         seg_len = n_lwe if segments <= 1 else -(-n_lwe * bk.parties
                                                 // segments)
         run_seg = jax.jit(
@@ -668,7 +671,8 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
 
         def step(acc_a, xs):
             e_i, bara_i = xs
-            return mux_rotate_baked(acc_a, e_i, bara_i, l, b, bk.block), None
+            return mux_rotate_baked(
+                acc_a, e_i, bara_i, l, b, bk.block, bk.balanced), None
     else:
         def step(acc_a, xs):
             limbs_i, bara_i = xs
@@ -678,13 +682,15 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
 
             rot = tlwe_mul_by_monomial(acc, bara_i)
             temp = TLweSample(rot.a - acc_a, acc.cv)
-            delta = tgsw_extern_mul_prepared(temp, limbs_i, l, b)
+            delta = tgsw_extern_mul_prepared(temp, limbs_i, l, b,
+                                             bk.balanced)
             return acc_a + delta.a, None
 
     from ..noise import mk_blind_rotate_var
 
     cv_out = accum.cv + mk_blind_rotate_var(
-        bk.parties, bk.lwe_size, l, b, bk.polynomial_degree, bk.noise_stddev
+        bk.parties, bk.lwe_size, l, b, bk.polynomial_degree, bk.noise_stddev,
+        bk.balanced,
     )
     if segments <= 1:
         out_a, _ = jax.lax.scan(step, accum.a, (bk.limbs, bara_t))

@@ -96,23 +96,42 @@ def mk_expand_var(parties: int, decomp_length: int, log2_base: int,
 
 
 def mk_extern_product_var(parties: int, decomp_length: int, log2_base: int,
-                          poly_degree: int, sigma: float) -> float:
+                          poly_degree: int, sigma: float,
+                          balanced: bool = False) -> float:
     """One MK CMUX step: (parties-1) mask columns carry expanded noise, the
-    party's own column and the body carry fresh noise.
+    party's own column and the body carry fresh noise; plus the gadget
+    rounding terms (zero-mean part and, for the reference-exact truncating
+    gadget, the -ulp/2 bias convolved through the ring keys — the same
+    mechanism as the single-key `decompose_bias_var`, scaled by the
+    `parties` ring keys).
     Reference op: src/mk_internals.jl:348-391; validated in
     docs/mk_noise_budget.md (predicted 0.054 vs Monte-Carlo 0.0513 on the
-    2-party preset over the full rotation)."""
+    2-party preset over the full rotation) and by the parametrized
+    spec/mk_montecarlo.py for the retuned gadgets."""
     e_dig2 = (1 << (2 * log2_base)) / 12.0
     v_exp = mk_expand_var(parties, decomp_length, log2_base, poly_degree,
                           sigma)
     eps = 2.0 ** -(decomp_length * log2_base + 1)
+    bias = 0.0 if balanced else parties * decompose_bias_var(
+        1, decomp_length, log2_base, poly_degree)
+    # EXPANSION rounding re-amplified by the extern digits: the expanded
+    # x/y cells carry the g^-1(b_i - b_party) reconstruction error eps
+    # convolved with the fresh binary r (per-coefficient variance
+    # ~ N/2 * eps^2), and the extern product multiplies those cells by
+    # digit-scale operands — this term is why the REFERENCE increases l*b
+    # with party count (28/30/32 bits at 2/4/8 parties) and why short MK
+    # gadgets fail catastrophically (validated: spec/mk_montecarlo.py at
+    # l=3 b=6 predicts saturation and measures a uniform output phase).
+    exp_round = (decomp_length * poly_degree * e_dig2
+                 * (parties - 1) * (poly_degree / 2.0) * eps * eps)
     return (decomp_length * poly_degree * e_dig2
             * ((parties - 1) * v_exp + 2 * sigma**2)
-            + (1 + parties * poly_degree / 2.0) * eps * eps)
+            + (1 + parties * poly_degree / 2.0) * eps * eps
+            + exp_round + bias)
 
 
 def mk_blind_rotate_var(parties: int, lwe_size: int, decomp_length: int,
                         log2_base: int, poly_degree: int,
-                        sigma: float) -> float:
+                        sigma: float, balanced: bool = False) -> float:
     return parties * lwe_size * mk_extern_product_var(
-        parties, decomp_length, log2_base, poly_degree, sigma)
+        parties, decomp_length, log2_base, poly_degree, sigma, balanced)
