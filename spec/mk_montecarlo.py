@@ -44,7 +44,7 @@ BS_B = int(os.environ.get("MC_BSB", "7"))
 BS_ALPHA = 3.29e-10
 BALANCED = os.environ.get("MC_BALANCED", "0") == "1"
 KS_L, KS_B, KS_ALPHA = 8, 2, 2.44e-5
-PARTIES = 2
+PARTIES = int(os.environ.get("MC_PARTIES", "2"))
 MU = np.int64(np.int32(1 << 29))  # encode_message(1, 8)
 TWO32 = float(2**32)
 
@@ -196,7 +196,8 @@ def main():
     pre = np.asarray(pre_errs)
     print(json.dumps({
         "event": "summary", "n_gates": n_gates,
-        "gadget": {"l": BS_L, "b": BS_B, "balanced": BALANCED},
+        "gadget": {"l": BS_L, "b": BS_B, "balanced": BALANCED,
+                   "parties": PARTIES},
         "out_sigma": float(errs.std()), "pre_ks_sigma": float(pre.std()),
         "failures": fails, "fail_rate": fails / n_gates,
     }), flush=True)
