@@ -203,7 +203,7 @@ def main():
     del ra_, rb_, out_r
 
     # --- 5: 2-party MK NAND ---
-    del ck2, sk2, bx, by, ca, cb, out
+    del ck2, sk2, ca, cb, out  # (bx/by already freed before section 3a)
     pmk = mk.mktfhe_parameters_toy(2) if small else mk.mktfhe_parameters_2party()
     r = jax.random.PRNGKey(21)
     r_sh, r_e, ra, rb = jax.random.split(r, 4)
