@@ -142,6 +142,79 @@ def test_model_sharded_blind_rotate_bit_identical(toy_keys, data, model):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+@pytest.fixture(scope="module")
+def toy_keys_balanced():
+    """Toy keys with the balanced (nearest-rounding) gadget — the mode the
+    shipped fast presets use; regression fixture for the mesh path dropping
+    bk.balanced (round-3 advisor finding, high)."""
+    import dataclasses
+
+    params = dataclasses.replace(
+        tt.tfhe_parameters_toy(), gadget_balanced=True)
+    rng = jax.random.PRNGKey(321)
+    sk, ck = tt.make_key_pair(rng, params)
+    return params, sk, ck
+
+
+@pytest.mark.parametrize("data,model", [(4, 2), (2, 4)])
+def test_model_sharded_blind_rotate_balanced_key(toy_keys_balanced, data,
+                                                 model):
+    """Model-sharded rotation with a BALANCED-gadget key must match the
+    single-device blind_rotate bit-for-bit (the mesh step must pass
+    bk.balanced into decompose, not silently revert to truncating)."""
+    import tfhe_tpu.bootstrap as bs
+    from tfhe_tpu.tlwe import TLweSample
+
+    params, sk, ck = toy_keys_balanced
+    bk = ck.bootstrap_key
+    assert bk.balanced
+    if bk.depth == 0:
+        pytest.skip("model sharding targets the Karatsuba bake")
+    mesh = parallel.make_mesh(data, model)
+
+    rng = np.random.default_rng(9)
+    B = 16
+    n = params.tlwe_polynomial_degree
+    acc0 = rng.integers(-(2**31), 2**31, (B, 2, n), dtype=np.int64).astype(
+        np.int32
+    )
+    bara = rng.integers(0, 2 * n, (B, params.lwe_size)).astype(np.int32)
+
+    want = bs.blind_rotate(
+        TLweSample(jnp.asarray(acc0), jnp.zeros(B, jnp.float32)), bk, bara
+    ).a
+
+    bk_sharded = parallel.shard_bootstrap_key_model(bk, mesh)
+    rotate = parallel.make_blind_rotate_model_sharded(mesh)
+    got = rotate(bk_sharded, jnp.asarray(acc0), jnp.asarray(bara))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sharded_nand_balanced_key_bit_identical(toy_keys_balanced):
+    """Full sharded NAND with a balanced-gadget key == single-device, bitwise."""
+    params, sk, ck = toy_keys_balanced
+    mesh = parallel.make_mesh(4, 2)
+    B = 16
+    bits_x = jnp.arange(B) % 2 == 0
+    bits_y = jnp.arange(B) % 3 == 0
+    ct_x = tt.encrypt(jax.random.PRNGKey(11), sk, bits_x)
+    ct_y = tt.encrypt(jax.random.PRNGKey(12), sk, bits_y)
+
+    want = gates.gate_nand(ck, ct_x, ct_y)
+
+    ck_sharded = parallel.shard_cloud_key(ck, mesh)
+    nand = parallel.make_gate_nand_sharded(mesh, params)
+    got = nand(ck_sharded,
+               parallel.shard_batch(ct_x, mesh),
+               parallel.shard_batch(ct_y, mesh))
+
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    np.testing.assert_array_equal(
+        np.asarray(tt.decrypt(sk, got)),
+        ~(np.asarray(bits_x) & np.asarray(bits_y)))
+
+
 def test_sharded_pbs_bit_identical(toy_keys):
     """Programmable bootstrap under the mesh == single-device, bitwise."""
     from tfhe_tpu import pbs

@@ -27,6 +27,23 @@ def test_env_parsing_types(monkeypatch):
     assert cfg.mk_mega == "0"  # tri-state string, not bool
 
 
+def test_env_bool_falsy_spellings(monkeypatch):
+    """TFHE_TPU_DEBUG=False/no/off must disable, not silently enable
+    (round-3 advisor finding: anything outside ('0','false','') parsed as
+    True, including for result-affecting knobs)."""
+    import pytest
+
+    for raw in ("False", "no", "NO", "off", "Off", "0", ""):
+        monkeypatch.setenv("TFHE_TPU_DEBUG", raw)
+        assert tuning.get_tuning().debug is False, raw
+    for raw in ("True", "YES", "on", "1"):
+        monkeypatch.setenv("TFHE_TPU_DEBUG", raw)
+        assert tuning.get_tuning().debug is True, raw
+    monkeypatch.setenv("TFHE_TPU_DEBUG", "maybe")
+    with pytest.raises(ValueError, match="TFHE_TPU_DEBUG"):
+        tuning.get_tuning()
+
+
 def test_defaults_without_env(monkeypatch):
     for var in tuning._ENV.values():
         monkeypatch.delenv(var, raising=False)

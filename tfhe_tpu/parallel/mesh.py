@@ -210,7 +210,12 @@ def make_blind_rotate_model_sharded(mesh: Mesh):
             def step(acc, xs):
                 e_i, bara_i = xs
                 rot = mul_by_monomial(acc, bara_i[:, None])
-                digits = decompose(rot - acc, l, b)
+                # bk.balanced must ride through: with gadget_balanced presets
+                # (128_fast et al.) the truncating gadget's -ulp/2 bias is
+                # fatal at l*b=16 (noise.py:decompose_bias_var), and dropping
+                # it here would make the sharded rotation diverge bit-wise
+                # from blind_rotate.
+                digits = decompose(rot - acc, l, b, bk_local.balanced)
                 digits = digits.reshape(acc.shape[0], k1 * l, acc.shape[-1])
                 # group ids for this shard: globally g0 + j -> (k, limb);
                 # k = g // 4, limb = g % 4. lax.switch over the model-static

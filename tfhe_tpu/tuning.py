@@ -108,7 +108,16 @@ def from_env() -> TuningConfig:
         if raw is None:
             continue
         if field.type == "bool":
-            kw[field.name] = raw not in ("0", "false", "")
+            low = raw.strip().lower()
+            if low in ("1", "true", "yes", "on"):
+                kw[field.name] = True
+            elif low in ("0", "false", "no", "off", ""):
+                kw[field.name] = False
+            else:
+                raise ValueError(
+                    f"{_ENV[field.name]}={raw!r}: expected a boolean "
+                    "(1/true/yes/on or 0/false/no/off)"
+                )
         elif field.type == "int":
             kw[field.name] = int(raw)
         else:
