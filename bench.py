@@ -129,12 +129,26 @@ def main():
     if n_bad:
         log("WARNING: decryption errors present")
 
+    # Pin the security claim next to the throughput claim: core-SVP bits
+    # for the preset actually benchmarked (tools/security_estimate.py;
+    # 128fast/128pbs rate IDENTICAL to the reference 128-bit preset —
+    # docs/security.md, tests/test_security_estimate.py).
+    sec_bits = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        import security_estimate as se
+        sec_bits = round(se.estimate_preset(params)["bits"], 1)
+    except Exception as e:  # never let the estimator sink the bench line
+        log(f"security estimate unavailable: {e}")
+
     print(json.dumps({
         "metric": "nand_bootstraps_per_sec_128bit",
         "value": round(throughput, 1),
         "unit": "gates/s",
         "vs_baseline": round(throughput / 1e4, 4),
         "params": which,
+        "security_core_svp_bits": sec_bits,
         "correct": batch - n_bad,
         "of": batch,
     }))
