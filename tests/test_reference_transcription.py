@@ -169,3 +169,70 @@ def test_mk_expand_matches_reference_transcription(rng):
     np.testing.assert_array_equal(np.asarray(got.y), want_y)
     np.testing.assert_array_equal(np.asarray(got.c0), want_c0)
     np.testing.assert_array_equal(np.asarray(got.c1), want_c1)
+
+
+# --- MK uni-encryption, transcribed from /root/reference/src/mk_internals.jl ---
+
+
+def ref_mk_tgsw_encrypt(message, r, c1, f1, e_c0, e_d0, e_d1, e_f0,
+                        key0, shared_a, pk_b, l, b):
+    """mk_tgsw_encrypt (RGSW.UniEnc), mk_internals.jl:185-227, with the rng
+    draws (r, c1, f1, four Gaussian noise blocks) injected. Component
+    placement being pinned:
+      C: c0[i] = e_c0[i] + key (*) c1[i] + m*g[i]   (m*g on the CONSTANT
+         coefficient — poly + scalar adds to the const term, DarkIntegers
+         semantics per SURVEY C2)
+      D: d1[i] = e_d1[i] + r (*) shared_a[i] + m*g[i] (const coeff)
+         d0[i] = e_d0[i] + r (*) pk_b[i]
+      F: f0[i] = e_f0[i] + key (*) f1[i] + r*g[i]   (poly * scalar — EVERY
+         coefficient, unlike the m*g terms)
+    Returns [6, l, N] int32 stacked (c0, c1, d0, d1, f0, f1)."""
+    n = len(r)
+    g = [np.int64(1) << (32 - (i + 1) * b) for i in range(l)]
+    c0 = np.zeros((l, n), np.int32)
+    d0 = np.zeros((l, n), np.int32)
+    d1 = np.zeros((l, n), np.int32)
+    f0 = np.zeros((l, n), np.int32)
+    for i in range(l):
+        mg = np.zeros(n, np.int64)
+        mg[0] = np.int64(int(message)) * g[i]
+        c0[i] = w32(e_c0[i].astype(np.int64)
+                    + ref_negacyclic(key0, c1[i]).astype(np.int64) + mg)
+        d1[i] = w32(e_d1[i].astype(np.int64)
+                    + ref_negacyclic(r, shared_a[i]).astype(np.int64) + mg)
+        d0[i] = w32(e_d0[i].astype(np.int64)
+                    + ref_negacyclic(r, pk_b[i]).astype(np.int64))
+        f0[i] = w32(e_f0[i].astype(np.int64)
+                    + ref_negacyclic(key0, f1[i]).astype(np.int64)
+                    + r.astype(np.int64) * g[i])
+    return np.stack([c0, c1, d0, d1, f0, f1])
+
+
+def test_mk_uniencrypt_matches_reference_transcription(rng):
+    """mk_tgsw_encrypt_core == the standalone UniEnc transcription on
+    injected randomness — closes the last oracle-only reference surface
+    (the C/D/F placement was previously verified only against
+    spec/oracle_mk.py, authored by the same hand)."""
+    from tfhe_tpu.mk.internals import mk_tgsw_encrypt_core
+
+    l, b, n = 2, 7, 64
+    for message in (1, -3):
+        r = rng.integers(0, 2, n).astype(np.int32)
+        key0 = rng.integers(0, 2, n).astype(np.int32)
+        c1 = rand_t32(rng, (l, n))
+        f1 = rand_t32(rng, (l, n))
+        e_c0, e_d0, e_d1, e_f0 = (rand_t32(rng, (l, n)) for _ in range(4))
+        shared_a = rand_t32(rng, (l, n))
+        pk_b = rand_t32(rng, (l, n))
+
+        want = ref_mk_tgsw_encrypt(
+            message, r, c1, f1, e_c0, e_d0, e_d1, e_f0,
+            key0, shared_a, pk_b, l, b)
+
+        got = mk_tgsw_encrypt_core(
+            jnp.int32(message), jnp.asarray(r), jnp.asarray(c1),
+            jnp.asarray(f1), jnp.asarray(e_c0), jnp.asarray(e_d0),
+            jnp.asarray(e_d1), jnp.asarray(e_f0),
+            jnp.asarray(key0)[None], jnp.asarray(shared_a),
+            jnp.asarray(pk_b), l, b)
+        np.testing.assert_array_equal(np.asarray(got.cd), want)
