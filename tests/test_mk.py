@@ -476,3 +476,59 @@ def test_mk_share_hiding():
     g1, _ = np.histogram(u1, bins=bins)
     tv_exposed = 0.5 * np.abs(g0 / n_draws - g1 / n_draws).sum()
     assert tv_exposed > 0.9, tv_exposed
+
+
+def test_mk_progressive_rotation_bit_identical(monkeypatch):
+    """The triangular rotation (skip blocks of parties not yet processed —
+    their accumulator components are structurally zero) must be bitwise
+    identical to the full-block rotation, and a NON-trivial accumulator
+    must bypass it via trivial_masks=False. 3 parties exercises k_act =
+    2/3/4 (party 0 halves its blocks, party 2 runs full)."""
+    from tfhe_tpu import tuning
+
+    parties = 3
+    params = mk.mktfhe_parameters_toy(parties)
+    r = jax.random.PRNGKey(77)
+    r_sh, *rparts = jax.random.split(r, 1 + parties)
+    shared = mk.make_shared_key(r_sh, params)
+    sks, parts = [], []
+    for rr in rparts:
+        r_sk, r_part = jax.random.split(rr)
+        sk = tt.make_secret_key(r_sk, params)
+        sks.append(sk)
+        parts.append(mk.make_cloud_key_part(r_part, sk, shared))
+    monkeypatch.setenv("TFHE_TPU_MK_BAKE_BUDGET", "0")  # stay prepared
+    monkeypatch.setenv("TFHE_TPU_MK_CMUX", "expand")  # fast path, interpret
+    ck = mk.make_mk_cloud_key(parts)
+    bk = ck.bootstrap_key
+
+    rng = np.random.default_rng(3)
+    batch = 2
+    n = params.tlwe_polynomial_degree
+    bara = jnp.asarray(rng.integers(
+        0, 2 * n, (batch, parties, params.lwe_size)).astype(np.int32))
+
+    # bootstrap-shaped start: trivial accumulator (zero masks)
+    testvect = rand_t32(rng, (batch, n))
+    acc0 = mki.mk_tlwe_noiseless_trivial(jnp.asarray(testvect), parties)
+
+    with tuning.override(mk_progressive=False):
+        want = mki.mk_blind_rotate(acc0, bk, bara)
+    got = mki.mk_blind_rotate(acc0, bk, bara)  # progressive (default)
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+
+    # arbitrary accumulator: trivial_masks=False must match the full path
+    acc_rand = TLweSample(
+        jnp.asarray(rand_t32(rng, (batch, parties + 1, n))),
+        jnp.zeros(batch, jnp.float32))
+    with tuning.override(mk_progressive=False):
+        want_r = mki.mk_blind_rotate(acc_rand, bk, bara)
+    got_r = mki.mk_blind_rotate(acc_rand, bk, bara, trivial_masks=False)
+    np.testing.assert_array_equal(np.asarray(got_r.a), np.asarray(want_r.a))
+
+    # negative control: the same arbitrary accumulator WITH the (here
+    # invalid) trivial-masks assumption must actually take the restricted
+    # path and diverge — proves the progressive machinery is live, not
+    # silently disabled
+    bad = mki.mk_blind_rotate(acc_rand, bk, bara, trivial_masks=True)
+    assert not np.array_equal(np.asarray(bad.a), np.asarray(want_r.a))

@@ -531,7 +531,8 @@ def _use_mk_expand_kernel(bk: MKBootstrapKey) -> bool:
 
 
 def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
-                    segments: int = 1) -> TLweSample:
+                    segments: int = 1,
+                    trivial_masks: bool = True) -> TLweSample:
     """parties x n CMUX steps; accum: [B, parties+1, N]; bara: [B, parties, n].
 
     Reference: src/mk_internals.jl:473-485 (branchless equivalence as in the
@@ -542,6 +543,13 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
     on devices with program-duration limits when the unbaked (gather) path
     makes one full rotation a multi-minute program (production 4+ parties).
     Only valid OUTSIDE jit; the default runs as one scan and is jittable.
+
+    trivial_masks: the accumulator's mask components start ZERO (true for
+    every bootstrap: the CGGI accumulator is the noiseless-trivial test
+    vector, src/mk_internals.jl:488-495). This enables the TRIANGULAR
+    rotation — while processing party p, parties p+1.. have structurally
+    zero components, so their blocks are skipped (bit-identical;
+    docs/mk_ksplit.md). Pass False for a pre-rotated/arbitrary accumulator.
     """
     l, b = bk.decomp_length, bk.log2_base
     steps = bk.parties * bk.lwe_size
@@ -575,34 +583,82 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
         k1 = bk.parties + 1
         n_lwe = bk.lwe_size
         interpret = jax.default_backend() != "tpu"
+        progressive = trivial_masks and get_tuning().mk_progressive
 
-        def make_step(nz):
+        def active_plan(party):
+            """Triangular-rotation restriction for this party's n-step loop.
+
+            The rotation is party-major (reference order,
+            src/mk_internals.jl:473-485) and the extern product only writes
+            mask component i from blocks whose digits come from component i
+            itself (the (i, i) diagonal) — so while processing party p, the
+            accumulator components of parties p+1.. are STRUCTURALLY ZERO
+            (decompose(0) == 0 in both gadget modes), their digit rows are
+            zero, and every block touching them contributes exactly zero.
+            Dropping those blocks and running the kernel on the active
+            [masks 0..p, body] accumulator slice is bit-identical and cuts
+            blocks/step from 3P+1 to 3p+4 (sum over parties: 1.27x/1.53x/
+            1.72x fewer MACs at P = 2/4/8). Full derivation and the rank-k
+            alternative's obstruction: docs/mk_ksplit.md.
+
+            Returns (nz_orig, nz_kern, sel, k_act): original-index blocks
+            (dense-operand selection in expand_karatsuba_sparse), the same
+            blocks remapped to the active slice (kernel plan + scatter),
+            positions into the stored full-nz axis (sparse keys), and the
+            active component count.
+            """
+            full = mk_nonzero_blocks(party, bk.parties)
+            k_act = party + 2
+            if not progressive or k_act >= k1:
+                return full, full, None, k1
+            active = set(range(party + 1)) | {bk.parties}
+
+            def remap(i):
+                return i if i <= party else k_act - 1
+
+            nz_orig, nz_kern, sel = [], [], []
+            for pos, (j, kc) in enumerate(full):
+                if j in active and kc in active:
+                    nz_orig.append((j, kc))
+                    nz_kern.append((remap(j), remap(kc)))
+                    sel.append(pos)
+            return tuple(nz_orig), tuple(nz_kern), tuple(sel), k_act
+
+        def expand_one(limbs_i, nz_orig, nz_kern, sel):
+            if bk.sparse:
+                if sel is not None:
+                    limbs_i = limbs_i[:, list(sel)]
+                return expand_karatsuba_sparse(
+                    limbs_i, t, plan, nz_kern, l, preselected=True)
+            return expand_karatsuba_sparse(
+                limbs_i, t, plan, nz_orig, l, preselected=False)
+
+        def make_step(nz_orig, nz_kern, sel, k_act):
             def step(acc_a, xs):
                 limbs_i, bara_i = xs
-                e_i = expand_karatsuba_sparse(
-                    limbs_i, t, plan, nz, l, preselected=bk.sparse)
+                e_i = expand_one(limbs_i, nz_orig, nz_kern, sel)
                 out = cmux_step_pallas_sparse(
-                    acc_a, e_i, bara_i, n=n, k1=k1, l=l, b=b, t=t,
-                    plan=plan, nz=nz, offset=offset, interpret=interpret,
+                    acc_a, e_i, bara_i, n=n, k1=k_act, l=l, b=b, t=t,
+                    plan=plan, nz=nz_kern, offset=offset,
+                    interpret=interpret,
                 )
                 return out, None
             return step
 
-        def make_chunk_step(nz):
+        def make_chunk_step(nz_orig, nz_kern, sel, k_act):
             # S steps per scan iteration: expand the whole chunk (one
             # batched XLA expansion), then ONE megakernel launch with the
             # accumulator resident in VMEM across the S steps — removes the
             # per-step acc HBM round-trip and 1/S of the scan-carry copies
             # (profiled at ~12% of the 2-party gate).
             expand_s = jax.vmap(
-                lambda li: expand_karatsuba_sparse(
-                    li, t, plan, nz, l, preselected=bk.sparse))
+                lambda li: expand_one(li, nz_orig, nz_kern, sel))
 
             def step(acc_a, xs):
                 limbs_c, bara_c = xs
                 out = mk_blind_rotate_pallas_chunk(
-                    acc_a, expand_s(limbs_c), bara_c, n=n, k1=k1, l=l, b=b,
-                    t=t, plan=plan, nz=nz, offset=offset,
+                    acc_a, expand_s(limbs_c), bara_c, n=n, k1=k_act, l=l,
+                    b=b, t=t, plan=plan, nz=nz_kern, offset=offset,
                     interpret=interpret,
                 )
                 return out, None
@@ -641,29 +697,45 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
         use_mega = (bk.parties >= 4 if mega_mode == "auto"
                     else mega_mode == "1")
         for party in range(bk.parties):
-            nz = mk_nonzero_blocks(party, bk.parties)
-            step = make_step(nz)
+            nz_orig, nz_kern, sel, k_act = active_plan(party)
+            step = make_step(nz_orig, nz_kern, sel, k_act)
             p0 = party * n_lwe
             # sparse keys are per-party tuples (no jit-time slice copies)
             limbs_p = (bk.limbs[party] if bk.sparse
                        else bk.limbs[p0: p0 + n_lwe])
-            if segments <= 1 and use_mega and (s_chunk := chunk_len(nz)) > 1:
+            if k_act < k1:
+                # active slice: masks 0..party + body (the rest are zero)
+                acc_run = jnp.concatenate(
+                    [acc_a[:, : party + 1], acc_a[:, k1 - 1:]], axis=1)
+            else:
+                acc_run = acc_a
+            if segments <= 1 and use_mega and \
+                    (s_chunk := chunk_len(nz_kern)) > 1:
                 n_chunks = n_lwe // s_chunk
                 limbs_c = limbs_p.reshape(
                     (n_chunks, s_chunk) + limbs_p.shape[1:])
                 bara_c = bara_t[p0: p0 + n_lwe].reshape(
                     n_chunks, s_chunk, -1)
-                acc_a, _ = jax.lax.scan(
-                    make_chunk_step(nz), acc_a, (limbs_c, bara_c))
+                acc_run, _ = jax.lax.scan(
+                    make_chunk_step(nz_orig, nz_kern, sel, k_act),
+                    acc_run, (limbs_c, bara_c))
             elif segments <= 1:
-                acc_a, _ = jax.lax.scan(
-                    step, acc_a, (limbs_p, bara_t[p0: p0 + n_lwe]))
+                acc_run, _ = jax.lax.scan(
+                    step, acc_run, (limbs_p, bara_t[p0: p0 + n_lwe]))
             else:
                 for s0 in range(0, n_lwe, seg_len):
                     s1 = min(s0 + seg_len, n_lwe)
-                    acc_a = run_seg(
-                        acc_a, limbs_p[s0:s1],
+                    acc_run = run_seg(
+                        acc_run, limbs_p[s0:s1],
                         bara_t[p0 + s0: p0 + s1], step)
+            if k_act < k1:
+                zeros = jnp.zeros(
+                    acc_run.shape[:1] + (k1 - k_act, n), jnp.int32)
+                acc_a = jnp.concatenate(
+                    [acc_run[:, : party + 1], zeros, acc_run[:, -1:]],
+                    axis=1)
+            else:
+                acc_a = acc_run
         return TLweSample(acc_a, cv_out)
 
     if bk.block:

@@ -57,6 +57,11 @@ class TuningConfig:
     mk_mega: str = "auto"       # chunked MK megakernel: auto|0|1 (auto =
                                 # parties >= 4; measured r3: 2-party 1567 vs
                                 # 1604 per-step, 4-party 386 vs 382)
+    mk_progressive: bool = True  # triangular MK rotation: skip the blocks of
+                                 # parties not yet processed (their acc
+                                 # components are structurally zero) —
+                                 # bit-exact, ~1.27x/1.53x/1.72x fewer MACs
+                                 # at 2/4/8 parties (docs/mk_ksplit.md)
     # --- result-affecting ---
     radix_manylut: bool = True  # PBSmanyLUT pairs (coarser mod switch)
     pipe_ablate: str = ""       # timing-only ablations: results are WRONG
@@ -92,6 +97,7 @@ _ENV = {
     "mk_cmux": "TFHE_TPU_MK_CMUX",
     "mk_chunk": "TFHE_TPU_MK_CHUNK",
     "mk_mega": "TFHE_TPU_MK_MEGA",
+    "mk_progressive": "TFHE_TPU_MK_PROGRESSIVE",
     "radix_manylut": "TFHE_TPU_RADIX_MANYLUT",
     "pipe_ablate": "TFHE_TPU_PIPE_ABLATE",
     "debug": "TFHE_TPU_DEBUG",
