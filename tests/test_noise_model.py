@@ -191,3 +191,42 @@ def test_pbs_preset_margins():
 
     assert lut4_margin_sigmas(tt.tfhe_parameters_128_pbs()) >= 8.0
     assert lut4_margin_sigmas(tt.tfhe_parameters_128_fast()) < 8.0
+
+
+def test_radix_preset_margins():
+    """`tfhe_parameters_128_radix{,_reliable}` hold their documented S=8
+    digit margins (model: docs/leveled_mode.md section 2b,
+    tools/derive_fast_params.py radix section), and the manylut
+    modulus-switch floor that makes 1e-9/word infeasible at full
+    throughput is pinned."""
+    import math
+
+    from tfhe_tpu.noise import blind_rotate_var, keyswitch_var
+
+    def digit_margin_sigmas(params, manylut):
+        v_out = blind_rotate_var(
+            params.lwe_size, params.tlwe_mask_size, params.bs_decomp_length,
+            params.bs_log2_base, params.tlwe_polynomial_degree,
+            params.bs_noise_stddev, params.gadget_balanced,
+        ) + keyswitch_var(
+            params.extracted_size, params.ks_decomp_length,
+            params.ks_log2_base, params.ks_noise_stddev,
+        )
+        q = 2 if manylut else 1
+        two_n = 2 * params.tlwe_polynomial_degree
+        v_ms = (params.lwe_size * 0.5 + 1) * (q / two_n) ** 2 / 12.0
+        # PBS input = digit + digit + carry: three bootstrap-fresh samples
+        return (1.0 / 32) / math.sqrt(3 * v_out + v_ms)
+
+    # throughput-preserving preset: >= 4.4 sigma (48x the r3 failure rate)
+    assert digit_margin_sigmas(tt.tfhe_parameters_128_radix(), True) >= 4.4
+    # the r3 config (truncating gadget, ks l8b2) sits below 3.6 sigma
+    assert digit_margin_sigmas(tt.tfhe_parameters_128(), True) < 3.6
+    # reliable preset without manylut: >= 6.42 sigma = <= 1e-9/word class
+    rel = tt.tfhe_parameters_128_radix_reliable()
+    assert digit_margin_sigmas(rel, False) >= 6.42
+    # ... and the manylut ms floor alone rules 1e-9 out at N=1024: even a
+    # zero-noise bootstrap stays under 6.42 sigma with manylut on
+    n, two_n = 630, 2048
+    ms_only = math.sqrt((n * 0.5 + 1) * (2.0 / two_n) ** 2 / 12.0)
+    assert (1.0 / 32) / ms_only < 6.42

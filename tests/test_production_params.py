@@ -147,3 +147,38 @@ def test_xor_chain_128_fast(keys128fast):
     out = tt.decrypt(sk, gates.gate_xor(ck, mid, ct_y))
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(xs))  # (x ^ y) ^ y == x
+
+
+def test_radix_add_128_radix_preset():
+    """Radix adder on `tfhe_parameters_128_radix` (balanced gadget +
+    ks l=4 base 16): decrypt-exact at production size — exercises the
+    retuned keyswitch gadget end to end."""
+    from tfhe_tpu import radix
+
+    params = tt.tfhe_parameters_128_radix()
+    assert params.gadget_balanced and params.ks_decomp_length == 4
+    sk, ck = tt.make_key_pair(jax.random.PRNGKey(654), params)
+    a = np.asarray([0, 255, 170, 99], np.int32)
+    b = np.asarray([0, 1, 85, 201], np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(21), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(22), sk, jnp.asarray(b), 8)
+    out = radix.radix_add(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, out)), (a + b) % 256)
+
+
+def test_radix_add_128_radix_reliable_no_manylut():
+    """`tfhe_parameters_128_radix_reliable` with the stacked two-rotation
+    LUT path (manylut off) — the <=1e-9/word configuration."""
+    from tfhe_tpu import radix, tuning
+
+    params = tt.tfhe_parameters_128_radix_reliable()
+    sk, ck = tt.make_key_pair(jax.random.PRNGKey(655), params)
+    a = np.asarray([17, 255], np.int32)
+    b = np.asarray([240, 255], np.int32)
+    xa = radix.encrypt_radix(jax.random.PRNGKey(23), sk, jnp.asarray(a), 8)
+    xb = radix.encrypt_radix(jax.random.PRNGKey(24), sk, jnp.asarray(b), 8)
+    with tuning.override(radix_manylut=False):
+        out = radix.radix_add(ck, xa, xb)
+    np.testing.assert_array_equal(
+        np.asarray(radix.decrypt_radix(sk, out)), (a + b) % 256)

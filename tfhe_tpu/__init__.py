@@ -13,6 +13,8 @@ from .params import (
     tfhe_parameters_128,
     tfhe_parameters_128_fast,
     tfhe_parameters_128_pbs,
+    tfhe_parameters_128_radix,
+    tfhe_parameters_128_radix_reliable,
     tfhe_parameters_toy,
 )
 from .numeric import encode_message, decode_message, dtot32

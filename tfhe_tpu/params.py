@@ -185,6 +185,76 @@ def tfhe_parameters_128_pbs() -> SchemeParameters:
     )
 
 
+def tfhe_parameters_128_radix() -> SchemeParameters:
+    """~128-bit preset retuned for RADIX integer arithmetic (S=8 digits).
+
+    The radix decision margin is 1/(4S) = 1/32 against the phase error of
+    digit+digit+carry (three bootstrap-fresh samples) plus the PBSmanyLUT
+    q=2 modulus switch. At the reference 128 preset the model failure is
+    ~3.8e-3/8-bit word (~3.5 sigma/decision). Two retunes, both at
+    UNCHANGED lattice instances (dims, moduli, secret distributions and
+    noise stddevs identical to src/api.jl:55-69; rated equal by
+    tools/security_estimate.py):
+
+    * the BALANCED gadget removes the truncating decomposition's bias term
+      (61% of the blind-rotate variance at l*b=21 —
+      noise.py:decompose_bias_var), and
+    * the keyswitch gadget moves from (l=8, base 4) to (l=4, base 16):
+      fewer table samples subtracted per output -> keyswitch-added
+      variance 5.7e-6 -> 3.6e-6 at the same sigma_ks (the table grows
+      2x to ~98 MB prepared; the contraction stays hidden under rotation).
+
+    Net model failure 7.9e-5/word (4.4 sigma/decision) at UNCHANGED
+    rotation cost — same measured words/s as the 128 preset. The 1e-9/word
+    class is PROVABLY out of reach at this throughput: the manylut modulus
+    switch alone (sigma 5.0e-3 at N=1024) floors failure at 3.6e-9/word
+    even with zero bootstrap noise — see `tfhe_parameters_128_radix_reliable`
+    and docs/leveled_mode.md section 2b for the Pareto analysis
+    (tools/derive_fast_params.py reproduces the numbers).
+    """
+    return SchemeParameters(
+        lwe_size=630,
+        lwe_noise_stddev=2.0**-15,
+        tlwe_polynomial_degree=1024,
+        tlwe_mask_size=1,
+        bs_decomp_length=3,
+        bs_log2_base=7,
+        bs_noise_stddev=2.0**-25,
+        ks_decomp_length=4,
+        ks_log2_base=4,
+        ks_noise_stddev=2.0**-15,
+        max_parties=1,
+        gadget_balanced=True,
+    )
+
+
+def tfhe_parameters_128_radix_reliable() -> SchemeParameters:
+    """~128-bit radix preset for HARD reliability targets (<=1e-9/word).
+
+    Finer bootstrap gadget (l=4, b=6, balanced) on the same lattice
+    instances; combined with the stacked two-rotation LUT path
+    (TFHE_TPU_RADIX_MANYLUT=0 — the q=2 manylut modulus switch is the
+    floor that rules out 1e-9 at N=1024, see tfhe_parameters_128_radix),
+    the model failure is 1.6e-10/8-bit word (6.7 sigma/decision) at ~0.37x
+    the 128-preset words/s (4/3 rotation MACs x 2 rotations/digit).
+    With manylut left on, this preset still gives 7.4e-6/word at 0.75x.
+    """
+    return SchemeParameters(
+        lwe_size=630,
+        lwe_noise_stddev=2.0**-15,
+        tlwe_polynomial_degree=1024,
+        tlwe_mask_size=1,
+        bs_decomp_length=4,
+        bs_log2_base=6,
+        bs_noise_stddev=2.0**-25,
+        ks_decomp_length=4,
+        ks_log2_base=4,
+        ks_noise_stddev=2.0**-15,
+        max_parties=1,
+        gadget_balanced=True,
+    )
+
+
 def tfhe_parameters_toy() -> SchemeParameters:
     """Tiny insecure parameters for fast oracle-equivalence tests only.
 

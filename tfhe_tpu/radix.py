@@ -20,12 +20,18 @@ axis), so each digit position is one batched blind rotation of 2x the
 word count.
 
 Noise margin: the PBS input is digit+digit+carry — three bootstrap-fresh
-samples — so the phase error is sqrt(3) x the per-sample noise against the
-1/(4S) = 1/32 decision margin. At the 128-bit preset (sigma_out ~ 0.004)
-that is a > 4.5 sigma margin per digit position; see
-tests/test_radix.py for the decrypt-level checks and
-docs/leveled_mode.md for why deeper-packed digits (S = 16+) are not safe
-on the 32-bit torus.
+samples — so the phase error is sqrt(3) x the per-sample noise (plus the
+manylut q=2 modulus-switch term) against the 1/(4S) = 1/32 decision
+margin. Run radix arithmetic on `tfhe_parameters_128_radix` (balanced
+gadget + retuned keyswitch: model failure 7.9e-5/8-bit word at the 128
+preset's throughput — 48x better than the reference preset's 3.8e-3) or
+`tfhe_parameters_128_radix_reliable` (+`TFHE_TPU_RADIX_MANYLUT=0`:
+1.6e-10/word at ~0.37x). The 1e-9-at-full-throughput class is infeasible
+at 32 bits — the manylut modulus switch alone floors failure at
+3.6e-9/word; Pareto analysis in docs/leveled_mode.md section 2b and
+tools/derive_fast_params.py. See tests/test_radix.py for decrypt-level
+checks and docs/leveled_mode.md for why deeper-packed digits (S = 16+)
+are not safe on the 32-bit torus.
 """
 
 from __future__ import annotations

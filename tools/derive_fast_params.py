@@ -93,6 +93,28 @@ def analyse(tag: str, k: int, big_n: int, l: int, b: int, depth: int,
     return ceiling, f1, f2
 
 
+def radix_analyse(tag: str, k: int, big_n: int, l: int, b: int,
+                  balanced: bool, manylut: bool, ks_l: int, ks_b: int,
+                  rel_cost: float):
+    """Radix (S=8) digit-position margin: PBS input = digit+digit+carry
+    (three bootstrap-fresh samples) against the 1/(4S) = 1/32 decision
+    margin, with the PBSmanyLUT q=2 coarser modulus switch when manylut.
+    8 decisions per 8-bit word (4 positions x sum/carry LUTs).
+    rel_cost: rotation cost relative to the 128-preset manylut adder
+    (l/3 gadget scaling x 2 if manylut is off)."""
+    q = 2 if manylut else 1
+    v_out = (blind_rotate_var(N_LWE, k, l, b, big_n, SIGMA_BS, balanced)
+             + keyswitch_var(k * big_n, ks_l, ks_b, SIGMA_KS))
+    per = (q / (2.0 * big_n)) ** 2 / 12.0
+    v_ms = (N_LWE * 0.5 + 1) * per
+    sigma = math.sqrt(3 * v_out + v_ms)
+    margin = (1.0 / 32) / sigma
+    fail_word = 8 * math.erfc(margin / math.sqrt(2.0))
+    print(f"{tag:44s} sigma={sigma:.2e} margin={margin:4.2f} sd "
+          f"fail/word={fail_word:.1e} words/s~{1520 / rel_cost:5.0f}")
+    return sigma, fail_word
+
+
 if __name__ == "__main__":
     print("reference-identical lattice instances (k*N=1024, sigma 2^-25):")
     analyse("128 (reference: k1 N1024 l3b7)", 1, 1024, 3, 7, 2)
@@ -105,3 +127,23 @@ if __name__ == "__main__":
     analyse("biased k2 N512 l2 b8: BROKEN", 2, 512, 2, 8, 2)
     analyse("128_fast (balanced l2 b8)", 2, 512, 2, 8, 2, balanced=True)
     analyse("balanced k4 N256 l2 b8", 4, 256, 2, 8, 1, balanced=True)
+
+    print()
+    print("radix (S=8) digit margins — the Pareto behind "
+          "tfhe_parameters_128_radix{,_reliable}:")
+    radix_analyse("128 preset as shipped r3 (trunc, ks l8b2, many)",
+                  1, 1024, 3, 7, False, True, 8, 2, 1.0)
+    radix_analyse("128_radix (bal l3b7, ks l4b4, many)",
+                  1, 1024, 3, 7, True, True, 4, 4, 1.0)
+    radix_analyse("128_radix_reliable + many (bal l4b6, ks l4b4)",
+                  1, 1024, 4, 6, True, True, 4, 4, 4 / 3)
+    radix_analyse("128_radix_reliable, NO many (<=1e-9 class)",
+                  1, 1024, 4, 6, True, False, 4, 4, 8 / 3)
+    # The joint target ">=1520 words/s AND <=1e-9/word" is INFEASIBLE on
+    # the 32-bit torus: the manylut modulus switch alone floors the
+    # failure, and dropping manylut halves throughput.
+    per2 = (2.0 / (2.0 * 1024)) ** 2 / 12.0
+    ms = math.sqrt((N_LWE * 0.5 + 1) * per2)
+    fl = 8 * math.erfc((1.0 / 32) / ms / math.sqrt(2.0))
+    print(f"{'manylut ms floor (zero bootstrap noise)':44s} "
+          f"sigma={ms:.2e} -> fail/word >= {fl:.1e}")

@@ -193,6 +193,9 @@ def shipped_presets() -> dict:
         "128 (reference, src/api.jl:55-69)": tt.tfhe_parameters_128(),
         "128_fast (TPU retune, k=4 N=256)": tt.tfhe_parameters_128_fast(),
         "128_pbs (TPU retune, k=2 N=512)": tt.tfhe_parameters_128_pbs(),
+        "128_radix (TPU retune, ks l4b4)": tt.tfhe_parameters_128_radix(),
+        "128_radix_reliable (TPU retune)":
+            tt.tfhe_parameters_128_radix_reliable(),
         "mk 2party (src/mk_api.jl:4-10)": mk_api.mktfhe_parameters_2party(),
         "mk 2party_lownoise (TPU)": mk_api.mktfhe_parameters_2party_lownoise(),
         "mk 4party (src/mk_api.jl:14-20)": mk_api.mktfhe_parameters_4party(),
