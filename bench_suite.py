@@ -88,6 +88,30 @@ def main():
     emit("chained_nand_device_latency_80bit",
          (time.time() - t0) / chain_n * 1e3, "ms", {"chain": chain_n})
 
+    # --- 1c: single NAND latency with the COMPACT (multi-tenant) key ---
+    # prepared limbs expanded per step (docs/serving.md): ~T x smaller key;
+    # batch-1 latency is key-streaming/expansion-bound either way.
+    from tfhe_tpu import tuning as _tuning
+
+    with _tuning.override(bs_bake_budget=0):
+        # fresh closure: the jit cache is keyed by fn identity + avals, not
+        # TuningConfig — reusing the section-1 jitted keygen would return
+        # the baked form again
+        skc, ckc = jax.jit(lambda r: tt.make_key_pair(r, p80))(
+            jax.random.PRNGKey(123)
+        )
+    jax.block_until_ready(ckc.bootstrap_key.baked)
+    assert ckc.bootstrap_key.compact
+    outc = nand1(ckc, one_x, one_y)
+    jax.block_until_ready(outc)
+    t0 = time.time()
+    for _ in range(reps):
+        outc = nand1(ckc, outc, one_y)
+    jax.block_until_ready(outc)
+    emit("single_nand_latency_compact_key", (time.time() - t0) / reps * 1e3,
+         "ms", {"key_mb": round(ckc.bootstrap_key.baked.size / 2**20, 1)})
+    del skc, ckc, outc
+
     xs = jnp.asarray([False, False, True, True])
     ys = jnp.asarray([False, True, False, True])
     cx = tt.encrypt(jax.random.PRNGKey(3), sk, xs)

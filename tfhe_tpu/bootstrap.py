@@ -50,7 +50,7 @@ def _default_block(poly_degree: int) -> int:
     data_fields=["baked"],
     meta_fields=[
         "decomp_length", "log2_base", "polynomial_degree", "mask_size",
-        "block", "depth", "noise_stddev", "balanced",
+        "block", "depth", "noise_stddev", "balanced", "compact",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -70,6 +70,16 @@ class BootstrapKey:
     Both are the TPU-resident analogue of the reference storing its key
     pre-FFT'd (src/bootstrap.jl:1-16): HBM traded for gather-free MXU
     streaming.
+
+    With `compact=True`, `baked` instead holds the PREPARED limb form
+    int8[n, 4, P, K, 2N] (tgsw.prepare_tgsw — the same bytes the reference
+    key carries, ~T x smaller than the bakes: 65 MB vs 6.2 GB at 128_fast)
+    and the blind rotation expands each step's Toeplitz rows on the fly —
+    batch-independent per-step MXU work that amortizes at large batches
+    and trades ~nothing at batch 1 (the baked path is key-streaming-bound
+    there anyway). This is the multi-tenant serving form
+    (TuningConfig.bs_bake_budget, docs/serving.md); `block`/`depth` then
+    describe the gate-time expansion plan rather than a bake.
     """
 
     baked: jax.Array
@@ -81,6 +91,7 @@ class BootstrapKey:
     depth: int = 0
     noise_stddev: float = 0.0  # keygen sigma, feeds the honest cv model
     balanced: bool = False  # nearest-rounding gadget (tgsw.decomp_offset)
+    compact: bool = False  # prepared limbs; expand per step at gate time
 
     @property
     def n(self) -> int:
@@ -135,18 +146,33 @@ def bootstrap_key_from_raw(gsw, decomp_length: int, log2_base: int,
     from .ops.conv import bake_block_toeplitz
     from .ops.karatsuba import bake_karatsuba, karatsuba_plan
 
+    from .tuning import get_tuning
+
     poly_degree = gsw.shape[-1]
     t = _default_block(poly_degree) if block is None else block
     depth = _default_depth() if depth is None else depth
     depth = min(depth, (poly_degree // t).bit_length() - 1)
     limbs = prepare_tgsw(gsw, decomp_length, log2_base)  # [n, 4, P, K, 2N]
+    k1 = gsw.shape[-2]
+    # Resident-key budget (docs/serving.md): keep the compact prepared form
+    # when the bake would not fit — the serving knob for many tenants/chip.
+    budget = get_tuning().bs_bake_budget
+    if budget >= 0:
+        rows = (karatsuba_plan(poly_degree // t, depth, log2_base).total_rows
+                if depth else 2 * (poly_degree // t))
+        baked_bytes = gsw.shape[0] * rows * k1 * decomp_length * t * k1 * 4 * t
+        if budget == 0 or baked_bytes > budget:
+            return BootstrapKey(
+                limbs, decomp_length, log2_base, poly_degree, k1 - 1, t,
+                depth, noise_stddev, balanced, compact=True,
+            )
     if depth:
         plan = karatsuba_plan(poly_degree // t, depth, log2_base)
         baked = bake_karatsuba(limbs, t, plan)
     else:
         baked = bake_block_toeplitz(limbs, t)
     return BootstrapKey(
-        baked, decomp_length, log2_base, poly_degree, gsw.shape[-2] - 1, t,
+        baked, decomp_length, log2_base, poly_degree, k1 - 1, t,
         depth, noise_stddev, balanced,
     )
 
@@ -242,6 +268,53 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
         return crosscheck_blind_rotate(accum, bk, bara)
 
     interpret = jax.default_backend() != "tpu"
+    if bk.compact:
+        # Compact serving path: the key is prepared limbs [n, 4, P, K, 2N];
+        # each step expands its Toeplitz rows on the fly (the MK fast path's
+        # machinery with the DENSE single-key block pattern) and feeds the
+        # fused sparse-block CMUX kernel. Bit-exact vs the baked paths
+        # (tests/test_compact_key.py).
+        k1 = bk.mask_size + 1
+        n_deg = bk.polynomial_degree
+        fast = _use_pallas_cmux() and bk.depth and (
+            interpret or (t == 128 and n_deg % 128 == 0 and n_deg // t >= 2))
+        if fast:
+            from .ops.karatsuba import expand_karatsuba_sparse
+            from .ops.pallas_cmux import cmux_step_pallas_sparse
+            from .tgsw import decomp_offset
+
+            nz = tuple((j, c) for j in range(k1) for c in range(k1))
+            plan = bk.plan
+            offset = decomp_offset(l, b, bk.balanced)
+
+            def step(acc_a, xs):
+                limbs_i, bara_i = xs
+                e_i = expand_karatsuba_sparse(limbs_i, t, plan, nz, l)
+                out = cmux_step_pallas_sparse(
+                    acc_a, e_i, bara_i, n=n_deg, k1=k1, l=l, b=b, t=t,
+                    plan=plan, nz=nz, offset=offset, interpret=interpret,
+                )
+                return out, None
+        else:
+            def step(acc_a, xs):
+                limbs_i, bara_i = xs
+                acc = TLweSample(
+                    acc_a, jnp.zeros(acc_a.shape[0], jnp.float32))
+                rot = tlwe_mul_by_monomial(acc, bara_i)
+                temp = TLweSample(rot.a - acc_a, acc.cv)
+                delta = tgsw_extern_mul_prepared(temp, limbs_i, l, b,
+                                                 bk.balanced)
+                return acc_a + delta.a, None
+
+        bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)
+        out_a, _ = jax.lax.scan(step, accum.a, (bk.baked, bara_t))
+        from .noise import blind_rotate_var
+
+        cv = accum.cv + blind_rotate_var(
+            bk.n, bk.mask_size, l, b, bk.polynomial_degree, bk.noise_stddev,
+            bk.balanced,
+        )
+        return TLweSample(out_a, cv)
     if bk.depth:
         plan = bk.plan
         if _use_pallas_cmux() and (interpret or t == 128):

@@ -161,6 +161,7 @@ def shard_bootstrap_key_model(bk, mesh: Mesh):
     src/polynomials.jl:111). Consumed by `make_blind_rotate_model_sharded`.
     """
     assert bk.depth > 0, "model sharding targets the Karatsuba bake"
+    assert not bk.compact, "compact (prepared) keys have no baked columns"
     from ..bootstrap import BootstrapKey
 
     cols = NamedSharding(mesh, P(None, None, "model"))

@@ -21,14 +21,16 @@ from .ops import conv
 
 @functools.lru_cache(maxsize=None)
 def gadget_values(decomp_length: int, log2_base: int):
-    """Nonzero gadget entries 2^(32 - (i+1)*b) as int32.
+    """Nonzero gadget entries 2^(32 - (i+1)*b) as int32 (NumPy constant —
+    lru_cache must never hold jnp arrays: one first materialized inside a
+    jit trace is a tracer, and the cache leaks it into later traces).
 
     Reference: src/tgsw.jl:12-14.
     """
     import numpy as np
 
     vals = [1 << (32 - (i + 1) * log2_base) for i in range(decomp_length)]
-    return jnp.asarray(np.asarray(vals, np.uint32).astype(np.int32))
+    return np.asarray(vals, np.uint32).astype(np.int32)
 
 
 @functools.lru_cache(maxsize=None)

@@ -23,6 +23,14 @@ Two kinds of knobs, kept honest separately:
 The reference has no tuning surface at all (a single immutable parameter
 struct, src/api.jl:4-21); this module is the TPU build's equivalent of that
 discipline for the knobs the reference never needed.
+
+CAVEAT — jit caching: knobs are read at Python trace time, and jax's jit
+cache is keyed by function identity + avals, NOT by the active config. A
+jitted function whose INPUTS don't change under a knob flip (e.g. keygen
+under `bs_bake_budget`) will silently replay the previously traced form;
+wrap such calls in a fresh closure per override (see tools/serving_bench.py).
+Gate-time knobs are safe in practice because the key pytree's metadata
+differs between forms, forcing a retrace.
 """
 
 from __future__ import annotations
@@ -39,6 +47,13 @@ class TuningConfig:
     karatsuba_depth: int = 2    # block-Karatsuba depth for new bootstrap keys
     cmux: str = "auto"          # auto|pallas|xla: single-key CMUX engine
     pipe: str = "auto"          # auto|0|1: two-subtile pipelined megakernel
+    bs_bake_budget: int = -1    # resident-key budget (bytes) for single-key
+                                # bootstrap keys: -1 = always bake (fastest,
+                                # T x the key bytes), 0 = force the COMPACT
+                                # prepared form (~100x smaller; per-step
+                                # on-the-fly expansion), >0 = bake only if
+                                # the baked key fits the budget — the
+                                # multi-tenant serving knob (docs/serving.md)
     # --- single-key batch tiles / DMA ring sizes ---
     btk: int = 128              # serial megakernel batch tile (rows)
     bt_step: int = 256          # single-step fused kernel batch tile
@@ -82,6 +97,7 @@ class TuningConfig:
 
 _ENV = {
     "karatsuba_depth": "TFHE_TPU_KARATSUBA_DEPTH",
+    "bs_bake_budget": "TFHE_TPU_BS_BAKE_BUDGET",
     "cmux": "TFHE_TPU_CMUX",
     "pipe": "TFHE_TPU_PIPE",
     "btk": "TFHE_TPU_BTK",
