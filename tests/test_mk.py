@@ -424,11 +424,12 @@ def test_mk_distributed_decryption():
             np.asarray(mk.mk_combine_shares(ct, shares)),
             np.asarray(mk.mk_decrypt(sks, ct)))
 
-    # calibrated mode: a fresh encryption affords ~10 bits of smudging on
-    # the 32-bit torus; correctness must survive the calibrated flooding
+    # calibrated mode: a fresh encryption affords ~7 bits of smudging on
+    # the 32-bit torus (the lemma floods the 8-sigma magnitude bound, not
+    # the stddev); correctness must survive the calibrated flooding
     shares = [
         mk.mk_partial_decrypt(jax.random.PRNGKey(300 + p), sks[p], ct_x, p,
-                              statistical_security=8)
+                              statistical_security=5)
         for p in range(parties)
     ]
     np.testing.assert_array_equal(

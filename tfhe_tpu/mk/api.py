@@ -246,17 +246,21 @@ def mk_partial_decrypt(rng, secret_key: SecretKey, sample: MKLweSample,
     one of:
 
     * `statistical_security=lam`: the standard smudging-lemma calibration
-      sigma_smudge = 2^lam * sigma_share, where sigma_share is the honest
-      noise bound carried on the ciphertext (`sample.cv`) — the share
-      distribution then sits within ~2^-lam statistical distance of one
-      computed from any same-plaintext ciphertext. A correctness guard
-      rejects calibrations whose combined flooding would break decryption
-      (all parties' smudges add into `mk_combine_shares`): on the 32-bit
-      torus this caps achievable lam at ~log2(margin / sigma_share) —
-      ~10 bits for FRESH ciphertexts at the shipped presets and ~0 bits
-      for BOOTSTRAPPED ones (sigma ~0.05 at the reference's 2-party
-      preset). That is an intrinsic limitation of a 32-bit modulus, not of
-      this implementation; deployments needing 40+ smudging bits use
+      sigma_smudge = 2^lam * B_share, where B_share = 8 * sigma_share is a
+      HIGH-PROBABILITY MAGNITUDE bound on the share's key-dependent
+      content (sigma_share from the honest `sample.cv`; P(|e| > 8 sigma)
+      ~ 1e-15 — the lemma needs a bound, not a stddev, so calibrating
+      against sigma_share itself would overstate the achieved distance) —
+      the share distribution then sits within ~2^-lam statistical distance
+      of one computed from any same-plaintext ciphertext. A correctness
+      guard rejects calibrations whose combined flooding would break
+      decryption (all parties' smudges add into `mk_combine_shares`),
+      solving 16*(sigma_share^2 + parties*sigma_smudge^2) <= 0.125^2
+      exactly: on the 32-bit torus this caps achievable lam at ~7 bits for
+      FRESH ciphertexts at the shipped presets and ~0 bits for
+      BOOTSTRAPPED ones (sigma ~0.05 at the reference's 2-party preset).
+      That is an intrinsic limitation of a 32-bit modulus, not of this
+      implementation; deployments needing 40+ smudging bits use
       larger-modulus threshold schemes. docs/mk_noise_budget.md section
       "share flooding" has the arithmetic; the hiding claim is tested in
       tests/test_mk.py.
@@ -274,13 +278,18 @@ def mk_partial_decrypt(rng, secret_key: SecretKey, sample: MKLweSample,
             raise ValueError(
                 "sample.cv carries no noise estimate; pass an explicit "
                 "smudging_stddev")
-        smudging_stddev = (2.0 ** statistical_security) * sigma_share
+        # smudging-lemma bound: the lemma floods a MAGNITUDE bound, not a
+        # stddev — use the high-probability bound 8*sigma (P ~ 1e-15)
+        b_share = 8.0 * sigma_share
+        smudging_stddev = (2.0 ** statistical_security) * b_share
         # correctness guard: combined flooding of all parties' shares must
-        # leave >= 4 sigma of the boolean 1/8 decision margin
+        # leave >= 4 sigma of the boolean 1/8 decision margin; max_lam
+        # solves 16*(sigma_share^2 + parties*sigma_smudge^2) = 0.125^2
         total = (sigma_share**2 + parties * smudging_stddev**2) ** 0.5
         if 4.0 * total > 0.125:
-            max_lam = math.log2(
-                ((0.125 / 4.0) ** 2 / parties) ** 0.5 / sigma_share)
+            headroom = (0.125 / 4.0) ** 2 - sigma_share**2
+            max_lam = (math.log2((headroom / parties) ** 0.5 / b_share)
+                       if headroom > 0 else float("-inf"))
             raise ValueError(
                 f"statistical_security={statistical_security} needs "
                 f"sigma_smudge={smudging_stddev:.3g}, but {parties} such "
