@@ -35,11 +35,15 @@ def _round_up(x: int, m: int) -> int:
 class KeyswitchKey:
     """Prepared keyswitch key.
 
-    table_limbs: int8[n_in*l*base, 4*cols_p] — the (i-major, then j, then h)
+    table_limbs: int8[l*base*n_in, 4*cols_p] — the (j-major, then h, then i)
     flattened table of LWE samples Enc(s_in[i] * h * 2^(32-(j+1)*b)), with a
     zero row at h=0 and the int32 words split into 4 balanced signed limbs;
     cols_p = n_out+1 rounded up to a lane multiple (a || b columns, padded).
-    Reference layout: ks[h,j,i] at src/keyswitch.jl:36-38.
+    Row order puts n_in INNERMOST so the gate-time one-hot builds as
+    [..., l, base, n_in] with n_in on the TPU lane axis — the previous
+    (i, j, h) order forced base(=4)-innermost intermediates that XLA pads
+    32x to the 128-lane tile (8 GB of temp at radix batch sizes).
+    Reference layout being flattened: ks[h,j,i] at src/keyswitch.jl:36-38.
     """
 
     table_limbs: jax.Array
@@ -58,7 +62,8 @@ def prepare_keyswitch_table(ks_a, ks_b, n_out: int) -> jax.Array:
     cols_p = _round_up(cols, 128)
     tbl = jnp.concatenate([ks_a, ks_b[..., None]], axis=-1)  # [base-1, l, n_in, cols]
     tbl = jnp.pad(tbl, ((1, 0), (0, 0), (0, 0), (0, cols_p - cols)))  # zero h=0 row
-    tbl = tbl.transpose(2, 1, 0, 3).reshape((bm1 + 1) * l * n_in, cols_p)
+    # (j, h, i) row order — n_in innermost (see KeyswitchKey docstring)
+    tbl = tbl.transpose(1, 0, 2, 3).reshape(l * (bm1 + 1) * n_in, cols_p)
     limbs = split_torus_limbs(tbl)  # [4, K_dim, cols_p]
     return limbs.transpose(1, 0, 2).reshape(-1, 4 * cols_p)
 
@@ -112,15 +117,28 @@ def keyswitch_key_gen(rng, alpha: float, in_key, out_key,
 
 
 def keyswitch_digits(a, decomp_length: int, log2_base: int) -> jax.Array:
-    """Round a[..., n_in] to l*b bits and extract unsigned digits [..., n_in, l]
-    in [0, base). Reference: src/keyswitch.jl:58-67."""
+    """Round a[..., n_in] to l*b bits and extract unsigned digits
+    [..., l, n_in] in [0, base) — n_in kept INNERMOST (lane axis); a
+    trailing l would be padded 16x to the 128-lane tile.
+    Reference: src/keyswitch.jl:58-67."""
     prec_offset = jnp.int32(1 << (32 - (1 + log2_base * decomp_length)))
     mask = jnp.int32((1 << log2_base) - 1)
     aibar = jnp.asarray(a, jnp.int32) + prec_offset
     shifts = jnp.asarray(
         [32 - (j + 1) * log2_base for j in range(decomp_length)], jnp.int32
     )
-    return (aibar[..., None] >> shifts) & mask
+    return (aibar[..., None, :] >> shifts[:, None]) & mask
+
+
+def keyswitch_onehot(a, decomp_length: int, log2_base: int) -> jax.Array:
+    """One-hot digit operand int8[..., l*base*n_in] in the table's (j, h, i)
+    row order — every intermediate keeps n_in on the lane axis."""
+    base = 1 << log2_base
+    digits = keyswitch_digits(a, decomp_length, log2_base)  # [..., l, n_in]
+    onehot = (digits[..., None, :]
+              == jnp.arange(base, dtype=jnp.int32)[:, None]).astype(jnp.int8)
+    # [..., l, base, n_in] -> flat (j, h, i)
+    return onehot.reshape(onehot.shape[:-3] + (-1,))
 
 
 def keyswitch(ks: KeyswitchKey, sample: LweSample) -> LweSample:
@@ -135,9 +153,8 @@ def keyswitch(ks: KeyswitchKey, sample: LweSample) -> LweSample:
     cols_p = ks.table_limbs.shape[-1] // 4
     batch_shape = sample.b.shape
 
-    digits = keyswitch_digits(sample.a, l, b)  # [..., n_in, l]
-    onehot = (digits[..., None] == jnp.arange(base, dtype=jnp.int32)).astype(jnp.int8)
-    onehot = onehot.reshape((-1, ks.n_in * l * base))
+    onehot = keyswitch_onehot(sample.a, l, b).reshape(
+        (-1, l * base * ks.n_in))
 
     prods = jax.lax.dot_general(
         onehot, ks.table_limbs,

@@ -84,12 +84,9 @@ def _keyswitch_tp(ks: KeyswitchKey, u: LweSample) -> LweSample:
     block = ks.table_limbs.shape[0]  # = k_dim / model_size
     cols_p = ks.table_limbs.shape[-1] // 4
 
-    from ..keyswitch import keyswitch_digits
+    from ..keyswitch import keyswitch_onehot
 
-    digits = keyswitch_digits(u.a, l, b)  # [B, n_in, l]
-    onehot = (digits[..., None] == jnp.arange(base, dtype=jnp.int32)).astype(
-        jnp.int8
-    ).reshape((-1, k_dim))
+    onehot = keyswitch_onehot(u.a, l, b).reshape((-1, k_dim))
     start = lax.axis_index("model") * block
     onehot_block = lax.dynamic_slice_in_dim(onehot, start, block, axis=1)
 

@@ -25,7 +25,7 @@ import json
 import jax
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2: keyswitch table rows reordered (j, h, i) — keyswitch.py
 
 
 def _type_table():
