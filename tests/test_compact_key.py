@@ -104,3 +104,39 @@ def test_compact_key_serialization_round_trip(compact_keys, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(back.bootstrap_key.baked),
         np.asarray(ck.bootstrap_key.baked))
+
+
+@pytest.mark.parametrize("btc,group_budget", [(1, 1 << 30), (2, 4096)])
+def test_compact_megakernel_tiling_bit_identical(baked_keys, compact_keys,
+                                                 btc, group_budget):
+    """The compact megakernel (in-kernel Toeplitz expansion, resident
+    accumulator) is bitwise identical to the baked rotation across its
+    tiling axes: per-cell batch tile (btc) and the resident-group budget
+    (the (2, 4096) case forces multiple groups, each re-running the
+    per-step expansion)."""
+    import tfhe_tpu.bootstrap as bs
+    from tfhe_tpu.ops.pallas_cmux import blind_rotate_pallas_compact
+    from tfhe_tpu.tgsw import decomp_offset
+    from tfhe_tpu.tlwe import TLweSample
+
+    params, _, ck_b = baked_keys
+    _, _, ck_c = compact_keys
+    rng = np.random.default_rng(11 + btc)
+    B = 4
+    n = params.tlwe_polynomial_degree
+    acc0 = rng.integers(-(2**31), 2**31, (B, 2, n), dtype=np.int64).astype(
+        np.int32)
+    bara = rng.integers(0, 2 * n, (B, params.lwe_size)).astype(np.int32)
+
+    want = bs.blind_rotate(
+        TLweSample(jnp.asarray(acc0), jnp.zeros(B, jnp.float32)),
+        ck_b.bootstrap_key, jnp.asarray(bara)).a
+    bk = ck_c.bootstrap_key
+    got = blind_rotate_pallas_compact(
+        jnp.asarray(acc0), bk.baked,
+        jnp.swapaxes(jnp.asarray(bara), 0, 1),
+        n=n, k1=bk.mask_size + 1, l=bk.decomp_length, b=bk.log2_base,
+        t=bk.block, plan=bk.plan,
+        offset=decomp_offset(bk.decomp_length, bk.log2_base, bk.balanced),
+        interpret=True, btc=btc, group_budget=group_budget)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

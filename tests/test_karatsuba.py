@@ -120,3 +120,23 @@ def test_multistep_bake_chunking():
     whole = bake_karatsuba(limbs, t, plan, chunk=32)  # single shot
     chunked = bake_karatsuba(limbs, t, plan, chunk=4)  # 4+4+3
     np.testing.assert_array_equal(np.asarray(whole), np.asarray(chunked))
+
+
+@pytest.mark.parametrize("depth", [1, 2])
+def test_expand_step_matches_bake(depth):
+    """Gate-time expansion of one compact step (expand_karatsuba_step) is
+    bit-identical to the bake-time rows (bake_karatsuba) — the identity the
+    compact serving path's chunked rotation rides."""
+    from tfhe_tpu.ops.karatsuba import expand_karatsuba_step
+
+    rng = np.random.default_rng(91 + depth)
+    t, n, p, k, steps = 32, 256, 6, 2, 3
+    key = rng.integers(
+        -(2**31), 2**31, (steps, p, k, n), dtype=np.int64
+    ).astype(np.int32)
+    plan = karatsuba_plan(n // t, depth, 7)
+    limbs = conv.prepare_shared_torus(jnp.asarray(key))  # [S, 4, P, K, 2N]
+    want = np.asarray(bake_karatsuba(limbs, t, plan))
+    for s in range(steps):
+        got = np.asarray(expand_karatsuba_step(limbs[s], t, plan))
+        np.testing.assert_array_equal(got, want[s])

@@ -270,31 +270,36 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
     interpret = jax.default_backend() != "tpu"
     if bk.compact:
         # Compact serving path: the key is prepared limbs [n, 4, P, K, 2N];
-        # each step expands its Toeplitz rows on the fly (the MK fast path's
-        # machinery with the DENSE single-key block pattern) and feeds the
-        # fused sparse-block CMUX kernel. Bit-exact vs the baked paths
+        # the rotation runs as the COMPACT MEGAKERNEL — grid over steps,
+        # the batch group's accumulator resident in VMEM, each step's dense
+        # operand expanded IN-KERNEL (a strided lane rotate per entry/poly,
+        # once per step for all batch cells) and consumed straight from
+        # VMEM. The expanded key never exists in HBM; the extra work vs the
+        # baked path is ~the VPU expansion pass per step, amortized over
+        # the whole batch. Bit-exact vs the baked paths
         # (tests/test_compact_key.py).
         k1 = bk.mask_size + 1
         n_deg = bk.polynomial_degree
         fast = _use_pallas_cmux() and bk.depth and (
             interpret or (t == 128 and n_deg % 128 == 0 and n_deg // t >= 2))
         if fast:
-            from .ops.karatsuba import expand_karatsuba_sparse
-            from .ops.pallas_cmux import cmux_step_pallas_sparse
+            from .ops.pallas_cmux import blind_rotate_pallas_compact
             from .tgsw import decomp_offset
 
-            nz = tuple((j, c) for j in range(k1) for c in range(k1))
-            plan = bk.plan
-            offset = decomp_offset(l, b, bk.balanced)
+            bara_t = jnp.swapaxes(jnp.asarray(bara, jnp.int32), 0, 1)
+            out_a = blind_rotate_pallas_compact(
+                accum.a, bk.baked, bara_t,
+                n=n_deg, k1=k1, l=l, b=b, t=t, plan=bk.plan,
+                offset=decomp_offset(l, b, bk.balanced),
+                interpret=interpret,
+            )
+            from .noise import blind_rotate_var
 
-            def step(acc_a, xs):
-                limbs_i, bara_i = xs
-                e_i = expand_karatsuba_sparse(limbs_i, t, plan, nz, l)
-                out = cmux_step_pallas_sparse(
-                    acc_a, e_i, bara_i, n=n_deg, k1=k1, l=l, b=b, t=t,
-                    plan=plan, nz=nz, offset=offset, interpret=interpret,
-                )
-                return out, None
+            cv = accum.cv + blind_rotate_var(
+                bk.n, bk.mask_size, l, b, bk.polynomial_degree,
+                bk.noise_stddev, bk.balanced,
+            )
+            return TLweSample(out_a, cv)
         else:
             def step(acc_a, xs):
                 limbs_i, bara_i = xs

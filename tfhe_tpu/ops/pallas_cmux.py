@@ -1533,3 +1533,262 @@ def cmux_step_pallas(acc, e_step, bara, *, n, k1, l, b, t, s_limbs, d_shifts,
         interpret=interpret,
     )(digits, acc, e_step)
     return delta
+
+
+def _leaf_dots_resident(dig_ref, dcomb_ref, e_ref, cacc_ref, leaf_dots, *,
+                        k1, t, pt, m, dig_i32):
+    """Leaf dots + limb recombine + fold/scatter against a step's FULL
+    expanded operand resident in VMEM (e_ref: [total_rows*P*T, K*4*T] in the
+    bake layout) — the no-DMA sibling of `_one_leaf_dots`, used by the
+    compact megakernel where E never exists in HBM at all.
+    """
+    kt = k1 * t
+    for e_row, L, lhs_descs, contribs in leaf_dots:
+        recs = []
+        for o in range(2 * L - 1):
+            i0, i1 = max(0, o - L + 1), min(L - 1, o)
+            width = (i1 - i0 + 1) * pt
+            rhs = e_ref[pl.ds((e_row + L - 1 - o + i0) * pt, width)]
+            rec = None
+            for buf_id, row0, d_shift in lhs_descs:
+                src = dcomb_ref if buf_id else dig_ref
+                lhs = src[:, (row0 + i0) * pt: (row0 + i0) * pt + width]
+                if dig_i32 and buf_id == 0:
+                    lhs = lhs.astype(jnp.int8)
+                prod = lax.dot_general(
+                    lhs, rhs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                if d_shift:
+                    prod = prod << d_shift
+                rec = prod if rec is None else rec + prod
+            recs.append(rec)
+        for o, rec in enumerate(recs):
+            word = None
+            for k in range(k1):
+                wk = rec[:, (k * 4) * t: (k * 4 + 1) * t]
+                for limb in range(1, 4):
+                    wk = wk + (
+                        rec[:, (k * 4 + limb) * t: (k * 4 + limb + 1) * t]
+                        << (8 * limb)
+                    )
+                word = wk if word is None else jnp.concatenate(
+                    [word, wk], axis=-1)
+            for off, sgn in contribs:
+                pos = off + o
+                if pos >= 2 * m - 1:
+                    continue
+                sgn_f = sgn if pos < m else -sgn
+                posm = pos % m
+                cur = cacc_ref[:, posm * kt: (posm + 1) * kt]
+                cacc_ref[:, posm * kt: (posm + 1) * kt] = (
+                    cur + word if sgn_f == 1 else cur - word
+                )
+
+
+def _expand_entries_body(words_ref, comb_ref, base_ref, e_ref, entry_rows, *,
+                         n, t, p, k1):
+    """In-kernel Toeplitz expansion of one step's compact key into the dense
+    bake layout, entirely in VMEM.
+
+    words_ref: [P*K, 2N] int32 doubled key words; e_ref out:
+    [total_rows*P*T, K*4*T] int8 (== bake_karatsuba rows, bit-exact).
+
+    The block window W[u, w] = C[T + w - u] (C a combo of 2T-long word
+    windows) is produced by ONE strided lane rotate per (entry, poly):
+    base[u, :] = C broadcast, then `pltpu.roll(base, 0, axis=1, stride=1,
+    stride_axis=0)` rolls row u right by u, so the fixed lane window
+    [T, 2T) of row u holds C[T + w - u]. K output columns ride the same
+    roll (2T-lane blocks side by side); the roll's cross-block wrap only
+    contaminates lanes < u <= T of each block, which the read window never
+    touches. Limb-splitting happens AFTER the rotate (the rotate unit is
+    32-bit only), with the same balanced-byte arithmetic as
+    conv.split_torus_limbs.
+    """
+    n2 = 2 * n
+    t2 = 2 * t
+    kk = k1
+
+    def window(d):
+        lo = d * t - t
+        if lo < 0:  # d == 0 wraps below (words are 2N-periodic)
+            return jnp.concatenate(
+                [words_ref[:, n2 + lo:], words_ref[:, 0: lo + t2]], axis=-1)
+        return words_ref[:, lo: lo + t2]
+
+    for row, entry in entry_rows:
+        comb = window(entry[0])
+        for d in entry[1:]:
+            comb = comb + window(d)  # int32 wraparound: exact
+        comb_ref[...] = comb  # [P*K, 2T]
+        for pj in range(p):
+            for k in range(kk):
+                base_ref[:, k * t2: (k + 1) * t2] = jnp.broadcast_to(
+                    comb_ref[pj * kk + k: pj * kk + k + 1, :], (t, t2))
+            rolled = pltpu.roll(base_ref[...], 0, 1, stride=1, stride_axis=0)
+            r0 = (row * p + pj) * t
+            for k in range(kk):
+                w32 = rolled[:, k * t2 + t: (k + 1) * t2]  # [T, T] int32
+                cur = w32
+                for limb in range(4):
+                    lo8 = ((cur & 255) ^ 128) - 128  # balanced low byte
+                    e_ref[r0: r0 + t,
+                          (k * 4 + limb) * t: (k * 4 + limb + 1) * t] = (
+                        lo8.astype(jnp.int8))
+                    if limb < 3:
+                        cur = (cur - lo8) >> 8
+
+
+def _compact_megakernel(limbs_ref, bara_ref, acc_hbm, out_hbm, acc_all,
+                        e_ref, words_ref, comb_ref, base_ref, acc_t_ref,
+                        dig_ref, dcomb_ref, cacc_ref, sem_io, *, n, k1, l, b,
+                        t, offset, combo_writes, leaf_dots, entry_rows,
+                        dig_i32, n_steps, n_cells, bt):
+    """Blind rotation from the COMPACT key: grid over the n steps, the FULL
+    batch group's accumulator resident in VMEM, each step's dense operand
+    expanded in-kernel (once per step, amortized over every batch cell) and
+    consumed straight from VMEM — the expanded key never exists in HBM.
+    Bit-exact vs the baked megakernel (tests/test_compact_key.py).
+    """
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    pk = k1 * p  # words rows: P * K
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _load_acc():
+        cp = pltpu.make_async_copy(acc_hbm, acc_all, sem_io)
+        cp.start()
+        cp.wait()
+
+    # --- words reconstruction: int8 limb rows -> int32 doubled words
+    lb = limbs_ref[0]
+    words_ref[...] = (
+        lb[0:pk].astype(jnp.int32)
+        + (lb[pk: 2 * pk].astype(jnp.int32) << 8)
+        + (lb[2 * pk: 3 * pk].astype(jnp.int32) << 16)
+        + (lb[3 * pk: 4 * pk].astype(jnp.int32) << 24)
+    )
+
+    # --- expand this step's operand into VMEM (once for all cells)
+    _expand_entries_body(
+        words_ref, comb_ref, base_ref, e_ref, entry_rows,
+        n=n, t=t, p=p, k1=k1)
+
+    # --- every batch cell: rotate/decompose -> dots vs resident E -> update
+    def cell(c, _):
+        bara_row = bara_ref[0, c, :]
+        acc_t_ref[...] = acc_all[pl.ds(c * bt, bt), :]
+        _rotate_decompose_body(
+            acc_t_ref, cacc_ref, dig_ref, bara_row,
+            n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32,
+            acc_flat=True)
+        _combo_body(dig_ref, dcomb_ref, combo_writes, pt)
+        cacc_ref[...] = jnp.zeros(cacc_ref.shape, jnp.int32)
+        _leaf_dots_resident(
+            dig_ref, dcomb_ref, e_ref, cacc_ref, leaf_dots,
+            k1=k1, t=t, pt=pt, m=m, dig_i32=dig_i32)
+        kt = k1 * t
+        for k in range(k1):
+            for i in range(m):
+                dst = pl.ds(k * n + i * t, t)
+                acc_t_ref[:, dst] = (
+                    acc_t_ref[:, dst]
+                    + cacc_ref[:, i * kt + k * t: i * kt + (k + 1) * t]
+                )
+        acc_all[pl.ds(c * bt, bt), :] = acc_t_ref[...]
+        return 0
+
+    jax.lax.fori_loop(0, n_cells, cell, 0)
+
+    @pl.when(s == n_steps - 1)
+    def _store_acc():
+        cp = pltpu.make_async_copy(acc_all, out_hbm, sem_io)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k1", "l", "b", "t", "plan", "offset", "interpret",
+                     "btc", "group_budget"),
+)
+def blind_rotate_pallas_compact(acc, limbs, bara_t, *, n, k1, l, b, t, plan,
+                                offset, interpret=False, btc=None,
+                                group_budget=36 << 20):
+    """Whole blind rotation from the COMPACT (prepared-limb) key as grid-
+    over-steps megakernel launches with in-kernel expansion.
+
+    acc: int32[B, k1, N]; limbs: int8[n_steps, 4, P, K, 2N] (prepare_tgsw);
+    bara_t: int32[n_steps, B] in [0, 2N). The batch is split into groups
+    whose resident accumulator fits ~36 MB of VMEM; each group re-runs the
+    per-step expansion (exactly like the baked path re-streams its key per
+    batch cell). Bit-exact vs the baked megakernel.
+    """
+    assert n & (n - 1) == 0
+    b_sz = acc.shape[0]
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    n_steps = limbs.shape[0]
+    combo_writes, leaf_dots, comb_rows = _kernel_plan(plan, p, t)
+    dig_i32 = b > 8
+
+    entry_rows = []
+    row = 0
+    for lf in plan.leaves:
+        for entry in reversed(lf.entries):
+            entry_rows.append((row, entry))
+            row += 1
+    entry_rows = tuple(entry_rows)
+
+    row_bytes = k1 * n * 4
+    group = _pick_tile(b_sz, max(1, min(b_sz, group_budget // row_bytes)))
+    bt = _pick_tile(group, btc or get_tuning().btp)
+    n_cells = group // bt
+
+    fn = functools.partial(
+        _compact_megakernel,
+        n=n, k1=k1, l=l, b=b, t=t, offset=offset,
+        combo_writes=combo_writes, leaf_dots=leaf_dots,
+        entry_rows=entry_rows, dig_i32=dig_i32, n_steps=n_steps,
+        n_cells=n_cells, bt=bt,
+    )
+    run = pl.pallas_call(
+        fn,
+        out_shape=jax.ShapeDtypeStruct((group, k1 * n), jnp.int32),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, 4 * p * k1, 2 * n), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_cells, bt), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # acc group: one-time DMA in
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # one-time DMA out
+        scratch_shapes=[
+            pltpu.VMEM((group, k1 * n), jnp.int32),  # resident accumulator
+            pltpu.VMEM((plan.total_rows * pt, k1 * 4 * t), jnp.int8),  # E
+            pltpu.VMEM((p * k1, 2 * n), jnp.int32),  # doubled words
+            pltpu.VMEM((p * k1, 2 * t), jnp.int32),  # entry combo windows
+            pltpu.VMEM((t, k1 * 2 * t), jnp.int32),  # roll base
+            pltpu.VMEM((bt, k1 * n), jnp.int32),  # cell acc tile
+            pltpu.VMEM((bt, m * pt), jnp.int32 if dig_i32 else jnp.int8),
+            pltpu.VMEM((bt, max(comb_rows, 1) * pt), jnp.int8),
+            pltpu.VMEM((bt, m * k1 * t), jnp.int32),  # cacc (+rot scratch)
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )
+    limbs_r = limbs.reshape(n_steps, 4 * p * k1, 2 * n)
+    outs = []
+    for g0 in range(0, b_sz, group):
+        bara_g = bara_t[:, g0: g0 + group].reshape(n_steps, n_cells, bt)
+        outs.append(run(
+            limbs_r, bara_g,
+            lax.slice_in_dim(acc.reshape(b_sz, k1 * n), g0, g0 + group)))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out.reshape(b_sz, k1, n)
