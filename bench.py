@@ -142,11 +142,17 @@ def main():
     except Exception as e:  # never let the estimator sink the bench line
         log(f"security estimate unavailable: {e}")
 
+    # vs_baseline is the ratio against the BASELINE.json north star (1e4
+    # bit-exact gates/s/chip at the 128-bit security level). Only presets
+    # pinned at that level get a ratio — "128" itself and "128fast", rated
+    # bit-for-bit identical by tools/security_estimate.py — anything else
+    # (80/toy) emits null rather than an apples-to-oranges number.
+    at_128_level = which in ("128", "128fast")
     print(json.dumps({
         "metric": "nand_bootstraps_per_sec_128bit",
         "value": round(throughput, 1),
         "unit": "gates/s",
-        "vs_baseline": round(throughput / 1e4, 4),
+        "vs_baseline": round(throughput / 1e4, 4) if at_128_level else None,
         "params": which,
         "security_core_svp_bits": sec_bits,
         "correct": batch - n_bad,

@@ -438,10 +438,10 @@ def _leaf_dots_body(dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf_dots, *,
                 )
 
 
-def _one_leaf_dots(dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf, slot, *,
-                   k1, t, pt, m, dig_i32):
-    """Emit the dots + limb recombine + fold/scatter for ONE leaf against the
-    E tile resident in ebuf slot `slot`.
+def _leaf_dots_core(dig_ref, dcomb_ref, cacc_ref, leaf, rhs_at, *,
+                    k1, t, pt, m, dig_i32):
+    """Dots + limb recombine + fold/scatter for ONE leaf; `rhs_at(o, i0,
+    width)` supplies the E operand slice (DMA'd slot or VMEM-resident).
 
     All 2L-1 output dots are issued BEFORE any recombine/fold: each
     recombine depends only on its own dot, so the VPU epilogue of output o
@@ -450,12 +450,12 @@ def _one_leaf_dots(dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf, slot, *,
     each output's VPU tail.
     """
     kt = k1 * t
-    e_row, L, lhs_descs, contribs = leaf
+    _, L, lhs_descs, contribs = leaf
     recs = []
     for o in range(2 * L - 1):
         i0, i1 = max(0, o - L + 1), min(L - 1, o)
         width = (i1 - i0 + 1) * pt
-        rhs = ebuf_ref[slot, pl.ds((L - 1 - o + i0) * pt, width)]
+        rhs = rhs_at(o, i0, width)
         rec = None
         for buf_id, row0, d_shift in lhs_descs:
             src = dcomb_ref if buf_id else dig_ref
@@ -491,6 +491,18 @@ def _one_leaf_dots(dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf, slot, *,
             cacc_ref[:, posm * kt: (posm + 1) * kt] = (
                 cur + word if sgn_f == 1 else cur - word
             )
+
+
+def _one_leaf_dots(dig_ref, dcomb_ref, ebuf_ref, cacc_ref, leaf, slot, *,
+                   k1, t, pt, m, dig_i32):
+    """`_leaf_dots_core` against the E tile resident in ebuf slot `slot`."""
+    L = leaf[1]
+
+    def rhs_at(o, i0, width):
+        return ebuf_ref[slot, pl.ds((L - 1 - o + i0) * pt, width)]
+
+    _leaf_dots_core(dig_ref, dcomb_ref, cacc_ref, leaf, rhs_at,
+                    k1=k1, t=t, pt=pt, m=m, dig_i32=dig_i32)
 
 
 def _rotate_decompose_thunks(acc_ref, scr_ref, dig_ref, bara_row, *, n, k1, l,
@@ -1542,48 +1554,14 @@ def _leaf_dots_resident(dig_ref, dcomb_ref, e_ref, cacc_ref, leaf_dots, *,
     bake layout) — the no-DMA sibling of `_one_leaf_dots`, used by the
     compact megakernel where E never exists in HBM at all.
     """
-    kt = k1 * t
-    for e_row, L, lhs_descs, contribs in leaf_dots:
-        recs = []
-        for o in range(2 * L - 1):
-            i0, i1 = max(0, o - L + 1), min(L - 1, o)
-            width = (i1 - i0 + 1) * pt
-            rhs = e_ref[pl.ds((e_row + L - 1 - o + i0) * pt, width)]
-            rec = None
-            for buf_id, row0, d_shift in lhs_descs:
-                src = dcomb_ref if buf_id else dig_ref
-                lhs = src[:, (row0 + i0) * pt: (row0 + i0) * pt + width]
-                if dig_i32 and buf_id == 0:
-                    lhs = lhs.astype(jnp.int8)
-                prod = lax.dot_general(
-                    lhs, rhs, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                if d_shift:
-                    prod = prod << d_shift
-                rec = prod if rec is None else rec + prod
-            recs.append(rec)
-        for o, rec in enumerate(recs):
-            word = None
-            for k in range(k1):
-                wk = rec[:, (k * 4) * t: (k * 4 + 1) * t]
-                for limb in range(1, 4):
-                    wk = wk + (
-                        rec[:, (k * 4 + limb) * t: (k * 4 + limb + 1) * t]
-                        << (8 * limb)
-                    )
-                word = wk if word is None else jnp.concatenate(
-                    [word, wk], axis=-1)
-            for off, sgn in contribs:
-                pos = off + o
-                if pos >= 2 * m - 1:
-                    continue
-                sgn_f = sgn if pos < m else -sgn
-                posm = pos % m
-                cur = cacc_ref[:, posm * kt: (posm + 1) * kt]
-                cacc_ref[:, posm * kt: (posm + 1) * kt] = (
-                    cur + word if sgn_f == 1 else cur - word
-                )
+    for leaf in leaf_dots:
+        e_row, L = leaf[0], leaf[1]
+
+        def rhs_at(o, i0, width, e_row=e_row, L=L):
+            return e_ref[pl.ds((e_row + L - 1 - o + i0) * pt, width)]
+
+        _leaf_dots_core(dig_ref, dcomb_ref, cacc_ref, leaf, rhs_at,
+                        k1=k1, t=t, pt=pt, m=m, dig_i32=dig_i32)
 
 
 def _expand_entries_body(words_ref, comb_ref, base_ref, e_ref, entry_rows, *,
@@ -1745,7 +1723,7 @@ def blind_rotate_pallas_compact(acc, limbs, bara_t, *, n, k1, l, b, t, plan,
 
     row_bytes = k1 * n * 4
     group = _pick_tile(b_sz, max(1, min(b_sz, group_budget // row_bytes)))
-    bt = _pick_tile(group, btc or get_tuning().btp)
+    bt = _pick_tile(group, btc or get_tuning().btc)
     n_cells = group // bt
 
     fn = functools.partial(

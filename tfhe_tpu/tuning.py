@@ -58,6 +58,7 @@ class TuningConfig:
     btk: int = 128              # serial megakernel batch tile (rows)
     bt_step: int = 256          # single-step fused kernel batch tile
     btp: int = 256              # pipelined megakernel subtile (rows)
+    btc: int = 256              # compact megakernel per-cell batch tile
     bta: int = 256              # two-kernel path: rotate tile
     btb: int = 256              # two-kernel path: matmul tile
     eslots: int = 3             # serial megakernel E-fetch ring slots
@@ -103,6 +104,7 @@ _ENV = {
     "btk": "TFHE_TPU_BTK",
     "bt_step": "TFHE_TPU_BT_STEP",
     "btp": "TFHE_TPU_BTP",
+    "btc": "TFHE_TPU_BTC",
     "bta": "TFHE_TPU_BTA",
     "btb": "TFHE_TPU_BTB",
     "eslots": "TFHE_TPU_ESLOTS",
