@@ -252,45 +252,84 @@ def main():
           "params": "128radix"})
     del ra2, rb2, out_r, skr, ckr
 
+    # --- 4d: the <=1e-9/word RELIABLE config: 128_radix_reliable preset with
+    # PBSmanyLUT OFF (model failure 1.6e-10/word, docs/leveled_mode.md 2b) —
+    # the one shipped preset whose numbers were model-only before round 5
+    from tfhe_tpu import tuning as _tuning2
+
+    prel = tt.tfhe_parameters_toy() if small else \
+        tt.tfhe_parameters_128_radix_reliable()
+    with _tuning2.override(radix_manylut=False):
+        # fresh closures: the jit cache keys on fn identity + avals, not
+        # TuningConfig — reusing the earlier jitted radix_add would replay
+        # the manylut trace (tuning.py CAVEAT)
+        skl, ckl = jax.jit(lambda r: tt.make_key_pair(r, prel))(
+            jax.random.PRNGKey(45))
+        jax.block_until_ready(ckl.bootstrap_key.baked)
+        ra3 = radix.encrypt_radix(jax.random.PRNGKey(46), skl, rav, 8)
+        rb3 = radix.encrypt_radix(jax.random.PRNGKey(47), skl, rbv, 8)
+        radd_rel = jax.jit(lambda c, a, b: radix.radix_add(c, a, b))
+        out_r = radd_rel(ckl, ra3, rb3); jax.block_until_ready(out_r)
+        t0 = time.time()
+        out_r = radd_rel(ckl, out_r, rb3)
+        jax.block_until_ready(out_r)
+        dt = time.time() - t0
+        got = np.asarray(radix.decrypt_radix(skl, out_r))
+    emit("radix_adder8_words_per_sec_reliable", Wr / dt, "adds/s",
+         {"correct": int((got == want).sum()), "of": Wr,
+          "params": "128radix_reliable", "manylut": False,
+          "model_failure_per_word": 1.6e-10})
+    del ra3, rb3, out_r, skl, ckl
+
     # --- 5: 2-party MK NAND ---
+    # The HEADLINE row runs the zero-error lownoise preset (the documented
+    # default: the reference's own 2-party preset carries an intrinsic
+    # ~1.5%/gate failure, docs/mk_noise_budget.md); the reference-fidelity
+    # preset is measured separately and labeled.
     del ca, cb, out  # (bx/by freed before 3a; ck2/sk2 freed after 4b)
-    pmk = mk.mktfhe_parameters_toy(2) if small else mk.mktfhe_parameters_2party()
-    r = jax.random.PRNGKey(21)
-    r_sh, r_e, ra, rb = jax.random.split(r, 4)
-    shared = mk.make_shared_key(r_sh, pmk)
-    sks, parts = [], []
-    for rr in (ra, rb):
-        r_sk, r_part = jax.random.split(rr)
-        s = tt.make_secret_key(r_sk, pmk)
-        sks.append(s)
-        parts.append(mk.make_cloud_key_part(r_part, s, shared))
-    t0 = time.time()
-    mck = mk.make_mk_cloud_key(parts)
-    jax.block_until_ready(mck.bootstrap_key.limbs)
-    log(f"mk expansion: {time.time() - t0:.1f}s")
-    # sparse-expand fast path (mk/internals.py); 4096 amortizes the
-    # batch-independent per-step key expansion (1,472 -> 1,643 gates/s)
-    Bm = 4 if small else 4096
-    m1 = jnp.arange(Bm) % 2 == 0
-    e1 = mk.mk_encrypt(jax.random.PRNGKey(22), sks, m1)
-    e2 = mk.mk_encrypt(jax.random.PRNGKey(23), sks, ~m1)
-    mknand = jax.jit(mk.mk_gate_nand)
-    out = mknand(mck, e1, e2); jax.block_until_ready(out)
-    t0 = time.time()
-    out = mknand(mck, out, e2)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    dec = np.asarray(mk.mk_decrypt(sks, out))
-    want = ~(np.asarray(~(m1 & ~m1)) & np.asarray(~m1))
-    errs = int((dec != want).sum())
-    # The reference's 2-party parameters carry an intrinsic ~1-2% per-gate
-    # failure probability (bootstrap output phase sigma ~0.05 vs the 0.125
-    # margin) — report the error count rather than a strict all-correct.
-    emit("mk2_nand_throughput", Bm / dt, "gates/s",
-         {"batch": Bm, "errors": errs})
+
+    def mk2_run(pmk, metric, extra=None):
+        r = jax.random.PRNGKey(21)
+        r_sh, r_e, ra, rb = jax.random.split(r, 4)
+        shared = mk.make_shared_key(r_sh, pmk)
+        sks, parts = [], []
+        for rr in (ra, rb):
+            r_sk, r_part = jax.random.split(rr)
+            s = tt.make_secret_key(r_sk, pmk)
+            sks.append(s)
+            parts.append(mk.make_cloud_key_part(r_part, s, shared))
+        t0 = time.time()
+        mck = mk.make_mk_cloud_key(parts)
+        jax.block_until_ready(mck.bootstrap_key.limbs)
+        log(f"mk expansion ({metric}): {time.time() - t0:.1f}s")
+        Bm = 4 if small else 4096
+        m1 = jnp.arange(Bm) % 2 == 0
+        e1 = mk.mk_encrypt(jax.random.PRNGKey(22), sks, m1)
+        e2 = mk.mk_encrypt(jax.random.PRNGKey(23), sks, ~m1)
+        mknand = jax.jit(mk.mk_gate_nand)
+        out = mknand(mck, e1, e2); jax.block_until_ready(out)
+        t0 = time.time()
+        out = mknand(mck, out, e2)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        dec = np.asarray(mk.mk_decrypt(sks, out))
+        want = ~(np.asarray(~(m1 & ~m1)) & np.asarray(~m1))
+        rec = {"batch": Bm, "errors": int((dec != want).sum())}
+        if extra:
+            rec.update(extra)
+        emit(metric, Bm / dt, "gates/s", rec)
+
+    mk2_run(mk.mktfhe_parameters_toy(2) if small
+            else mk.mktfhe_parameters_2party_lownoise(),
+            "mk2_nand_throughput", {"preset": "2party_lownoise"})
+    mk2_run(mk.mktfhe_parameters_toy(2) if small
+            else mk.mktfhe_parameters_2party(),
+            "mk2_nand_throughput_reference_preset",
+            {"preset": "2party (reference fidelity; intrinsic ~1.5%/gate "
+                       "failure, docs/mk_noise_budget.md)"})
 
     # --- 5b: 4-party MK NAND (party keys shardable across hosts) ---
-    del mck, parts, sks, e1, e2, out
+    # (mk2 key material is function-local to mk2_run and already freed)
     pmk4 = mk.mktfhe_parameters_toy(4) if small else mk.mktfhe_parameters_4party()
     r = jax.random.PRNGKey(31)
     r_sh, *party_rngs = jax.random.split(r, 5)

@@ -341,6 +341,26 @@ def test_mk_expand_kernel_matches_prepared(monkeypatch, parties):
     np.testing.assert_array_equal(np.asarray(got_sp.a), np.asarray(want.a))
     np.testing.assert_array_equal(np.asarray(got_sp.b), np.asarray(want.b))
 
+    # COMPACT megakernel (in-kernel sparse expansion) end-to-end: both key
+    # storage forms, triangular rotation live (progressive default) — must
+    # match the prepared path bitwise. Gate-level only at 2 parties: the
+    # 4-party interpret-mode compact gate program aborts XLA:CPU's compiler
+    # (the documented compile-accumulation fragility); 4- and 8-party
+    # compact coverage is the kernel-level differential in
+    # tests/test_mk_megakernel.py. Cache clear first — this test already
+    # compiles ~5 heavy interpret-mode gates in one process.
+    if parties == 2:
+        jax.clear_caches()
+        monkeypatch.setenv("TFHE_TPU_MK_COMPACT", "1")
+        got_c = mk.mk_gate_nand(ck, x, y)
+        np.testing.assert_array_equal(np.asarray(got_c.a), np.asarray(want.a))
+        np.testing.assert_array_equal(np.asarray(got_c.b), np.asarray(want.b))
+        got_csp = mk.mk_gate_nand(ck_sp, x, y)
+        np.testing.assert_array_equal(
+            np.asarray(got_csp.a), np.asarray(want.a))
+        np.testing.assert_array_equal(
+            np.asarray(got_csp.b), np.asarray(want.b))
+
 
 def test_mk_full_gate_set_truth_tables():
     """All MK two-input gates + XOR family + MUX on a 2-party toy ceremony."""

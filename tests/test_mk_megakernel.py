@@ -14,6 +14,7 @@ from tfhe_tpu.ops.karatsuba import expand_karatsuba_sparse, karatsuba_plan
 from tfhe_tpu.ops.pallas_cmux import (
     cmux_step_pallas_sparse,
     mk_blind_rotate_pallas_chunk,
+    mk_blind_rotate_pallas_compact,
 )
 from tfhe_tpu.tgsw import decomp_offset
 
@@ -60,4 +61,68 @@ def _chunk_vs_per_step(rng, parties, party, l, b, n, t, depth, steps, batch):
 
     got = mk_blind_rotate_pallas_chunk(
         acc0, jnp.stack(e_steps), jnp.asarray(bara), **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _nz_select(limbs, l, nz):
+    """Dense prepared limbs [steps, 4, P, K, 2N] -> the compact kernel's
+    nz-selected form [steps, 4, NZ, l, 2N] (mirrors internals.select_compact
+    for non-sparse keys)."""
+    return np.stack(
+        [limbs[:, :, j * l: (j + 1) * l, kc] for (j, kc) in nz], axis=2)
+
+
+@pytest.mark.parametrize("parties,party,l,b,groups", [
+    (2, 0, 4, 7, 1), (2, 1, 4, 7, 2), (4, 3, 5, 6, 1)])
+def test_mk_compact_matches_per_step(rng, parties, party, l, b, groups):
+    """Compact megakernel (in-kernel sparse expansion) == scanned per-step
+    sparse kernel over pre-expanded operands, bitwise — incl. the multi-
+    group split (groups=2 shrinks group_budget to force two launches)."""
+    n, t, depth, steps, batch = 256, 32, 2, 3, 8
+    k1 = parties + 1
+    plan = karatsuba_plan(n // t, depth, b)
+    nz = mk_nonzero_blocks(party, parties)
+    offset = decomp_offset(l, b)
+
+    limbs = rng.integers(-128, 128,
+                         size=(steps, 4, k1 * l, k1, 2 * n)).astype(np.int8)
+    acc0 = rand_t32(rng, (batch, k1, n))
+    bara = rng.integers(0, 2 * n, size=(steps, batch)).astype(np.int32)
+    bara[0, 0] = 0  # no-op lane
+
+    kw = dict(n=n, k1=k1, l=l, b=b, t=t, plan=plan, nz=nz, offset=offset,
+              interpret=True)
+    want = acc0
+    for s in range(steps):
+        e_i = expand_karatsuba_sparse(jnp.asarray(limbs[s]), t, plan, nz, l)
+        want = cmux_step_pallas_sparse(want, e_i, bara[s], **kw)
+
+    row_bytes = k1 * n * 4 + (n // t) * k1 * l * t + n * 4
+    budget = (batch // groups) * row_bytes + 1
+    got = mk_blind_rotate_pallas_compact(
+        acc0, jnp.asarray(_nz_select(limbs, l, nz)), jnp.asarray(bara),
+        group_budget=budget, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.slow
+def test_mk_compact_matches_per_step_8party(rng):
+    n, t, depth, steps, batch = 256, 32, 2, 2, 8
+    parties, party, l, b = 8, 5, 8, 4
+    k1 = parties + 1
+    plan = karatsuba_plan(n // t, depth, b)
+    nz = mk_nonzero_blocks(party, parties)
+    offset = decomp_offset(l, b)
+    limbs = rng.integers(-128, 128,
+                         size=(steps, 4, k1 * l, k1, 2 * n)).astype(np.int8)
+    acc0 = rand_t32(rng, (batch, k1, n))
+    bara = rng.integers(0, 2 * n, size=(steps, batch)).astype(np.int32)
+    kw = dict(n=n, k1=k1, l=l, b=b, t=t, plan=plan, nz=nz, offset=offset,
+              interpret=True)
+    want = acc0
+    for s in range(steps):
+        e_i = expand_karatsuba_sparse(jnp.asarray(limbs[s]), t, plan, nz, l)
+        want = cmux_step_pallas_sparse(want, e_i, bara[s], **kw)
+    got = mk_blind_rotate_pallas_compact(
+        acc0, jnp.asarray(_nz_select(limbs, l, nz)), jnp.asarray(bara), **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -36,7 +36,15 @@ from .internals import (
 
 
 def mktfhe_parameters_2party() -> SchemeParameters:
-    """Reference: src/mk_api.jl:4-10."""
+    """The REFERENCE-FIDELITY 2-party preset (src/mk_api.jl:4-10).
+
+    WARNING: this preset carries an intrinsic ~1.5% per-gate failure rate
+    inherited from the reference's own parameter choice (sigma_rot ~ 0.054
+    against the 0.125 decision margin — docs/mk_noise_budget.md). It exists
+    for parity with the reference; production use should prefer
+    `mktfhe_parameters_2party_lownoise` (failure < 1e-18/gate at ~0.9x the
+    throughput), which is also what the benchmark suite headlines.
+    """
     return SchemeParameters(
         lwe_size=500, lwe_noise_stddev=0.012467,
         tlwe_polynomial_degree=1024, tlwe_mask_size=1,

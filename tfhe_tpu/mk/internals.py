@@ -29,8 +29,6 @@ import jax
 import jax.numpy as jnp
 
 from .. import polynomial
-from ..keyswitch import keyswitch
-from ..lwe import LweSample
 from ..numeric import dtot32, rand_uniform_bool, rand_uniform_torus32
 from ..ops import conv
 from ..tgsw import decompose, gadget_values
@@ -356,21 +354,48 @@ def build_extern_operand_sparse(exp: MKTGswExpSample, party: int,
 
 
 def mk_keyswitch(ks_keys, sample: MKLweSample) -> MKLweSample:
-    """Per-party single-key keyswitch of each mask column, then recombine.
+    """Per-party keyswitch of each mask column as ONE batched contraction.
 
-    ks_keys: list of `parties` KeyswitchKey (party-local out keys).
+    ks_keys: list of `parties` KeyswitchKey (party-local out keys). All MK
+    presets give every party the same keyswitch geometry, so the per-party
+    one-hot matmuls batch into a single dot_general with the party axis as
+    a batch dimension (the table stack is a cheap device copy next to the
+    matmul itself); arithmetic per party is identical to the single-key
+    `keyswitch`, so results are bit-identical to the sequential loop.
     Reference: src/mk_internals.jl:397-411.
     """
-    parts = []
-    zero_b = jnp.zeros(sample.b.shape, jnp.int32)
-    zero_cv = jnp.zeros(sample.b.shape, jnp.float32)
-    for p, ks in enumerate(ks_keys):
-        part = keyswitch(ks, LweSample(sample.a[..., p, :], zero_b, zero_cv))
-        parts.append(part)
-    a_out = jnp.stack([p.a for p in parts], axis=-2)  # [..., parties, n_out]
-    b_out = sample.b + sum(p.b for p in parts)
-    # each per-party keyswitch adds its own honest variance (noise.py)
-    return MKLweSample(a_out, b_out, sample.cv + sum(p.cv for p in parts))
+    from ..keyswitch import keyswitch_onehot
+    from ..noise import keyswitch_var
+
+    ks0 = ks_keys[0]
+    l, b = ks0.decomp_length, ks0.log2_base
+    parties = len(ks_keys)
+    # the ceremony gives every party one SchemeParameters, so the
+    # geometries always agree (the batching requirement)
+    assert all(k.table_limbs.shape == ks0.table_limbs.shape
+               and (k.decomp_length, k.log2_base) == (l, b)
+               for k in ks_keys), "party keyswitch geometries differ"
+
+    cols_p = ks0.table_limbs.shape[-1] // 4
+    batch_shape = sample.b.shape
+    tables = jnp.stack([k.table_limbs for k in ks_keys])  # [P, R, 4*C]
+    onehot = keyswitch_onehot(sample.a, l, b)  # [..., parties, R] int8
+    oh = onehot.reshape((-1, parties, onehot.shape[-1]))
+    prods = jax.lax.dot_general(
+        oh, tables,
+        (((2,), (1,)), ((1,), (0,))),
+        preferred_element_type=jnp.int32,
+    ).reshape(parties, -1, 4, cols_p)  # batch-major: [P, B, 4, C]
+    acc = prods[:, :, 0, :]
+    for limb in range(1, 4):
+        acc = acc + (prods[:, :, limb, :] << (8 * limb))
+    a_out = jnp.moveaxis(-acc[..., : ks0.n_out], 0, 1).reshape(
+        batch_shape + (parties, ks0.n_out))
+    b_out = sample.b - jnp.sum(acc[..., ks0.n_out], axis=0).reshape(
+        batch_shape)
+    cv = sample.cv + sum(
+        keyswitch_var(k.n_in, l, b, k.noise_stddev) for k in ks_keys)
+    return MKLweSample(a_out, b_out, cv)
 
 
 # --- MK bootstrap (reference: src/mk_internals.jl:414-515) ---
@@ -571,6 +596,7 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
         from ..ops.pallas_cmux import (
             cmux_step_pallas_sparse,
             mk_blind_rotate_pallas_chunk,
+            mk_blind_rotate_pallas_compact,
         )
         from ..tgsw import decomp_offset
 
@@ -632,6 +658,16 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
                     limbs_i, t, plan, nz_kern, l, preselected=True)
             return expand_karatsuba_sparse(
                 limbs_i, t, plan, nz_orig, l, preselected=False)
+
+        def select_compact(limbs_p, nz_orig, sel):
+            """The party's nz-selected compact limbs [steps, 4, NZ, l, 2N]
+            for the compact megakernel (which expands IN-kernel)."""
+            if bk.sparse:
+                return (limbs_p if sel is None
+                        else limbs_p[:, :, list(sel)])
+            return jnp.stack(
+                [limbs_p[:, :, j * l: (j + 1) * l, kc]
+                 for (j, kc) in nz_orig], axis=2)
 
         def make_step(nz_orig, nz_kern, sel, k_act):
             def step(acc_a, xs):
@@ -696,6 +732,14 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
         # overlapped there) — auto picks per party count
         use_mega = (bk.parties >= 4 if mega_mode == "auto"
                     else mega_mode == "1")
+        compact_mode = get_tuning().mk_compact
+        # compact megakernel: in-kernel sparse expansion, acc resident for
+        # the whole party loop — kills the per-step XLA expansion launches
+        # and the expanded operand's HBM round-trip (round-5 measurement in
+        # STATUS). Default for compiled TPU runs; interpret-mode tests force
+        # it via the knob.
+        use_compact = (compact_mode == "1"
+                       or (compact_mode == "auto" and not interpret))
         for party in range(bk.parties):
             nz_orig, nz_kern, sel, k_act = active_plan(party)
             step = make_step(nz_orig, nz_kern, sel, k_act)
@@ -709,7 +753,13 @@ def mk_blind_rotate(accum: TLweSample, bk: MKBootstrapKey, bara,
                     [acc_a[:, : party + 1], acc_a[:, k1 - 1:]], axis=1)
             else:
                 acc_run = acc_a
-            if segments <= 1 and use_mega and \
+            if segments <= 1 and use_compact:
+                acc_run = mk_blind_rotate_pallas_compact(
+                    acc_run, select_compact(limbs_p, nz_orig, sel),
+                    bara_t[p0: p0 + n_lwe], n=n, k1=k_act, l=l, b=b, t=t,
+                    plan=plan, nz=nz_kern, offset=offset,
+                    interpret=interpret)
+            elif segments <= 1 and use_mega and \
                     (s_chunk := chunk_len(nz_kern)) > 1:
                 n_chunks = n_lwe // s_chunk
                 limbs_c = limbs_p.reshape(

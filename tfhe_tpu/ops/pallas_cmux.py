@@ -903,6 +903,50 @@ def _sparse_plan(plan, l: int, p: int, t: int, nz):
     return combo_writes, tuple(units), comb_rows
 
 
+def _unit_dots_body(dig_ref, dcomb_ref, acc_ref, unit, rhs_at, *, n, t, lt,
+                    dig_i32):
+    """Dots + limb recombine + scatter for ONE sparse-block unit, writing
+    the accumulator in place. `rhs_at(a)` supplies entry slot a's [l*T, 4T]
+    E tile (DMA'd slot or just-expanded VMEM)."""
+    _, k_col, outs = unit
+    for ops, placed in outs:
+        pacc = None
+        for a, descs in ops:
+            rhs = rhs_at(a)
+            rec = None
+            for buf, lrow0, d_shift in descs:
+                if buf == 2:
+                    # Mosaic has no int8 vector adds: sum in int32, then
+                    # narrow (exact: plan bounds digit sums to int8)
+                    lhs = dig_ref[:, lrow0[0]: lrow0[0] + lt].astype(
+                        jnp.int32)
+                    for rr in lrow0[1:]:
+                        lhs = lhs + dig_ref[:, rr: rr + lt].astype(
+                            jnp.int32)
+                    lhs = lhs.astype(jnp.int8)
+                else:
+                    src = dcomb_ref if buf else dig_ref
+                    lhs = src[:, lrow0: lrow0 + lt]
+                    if dig_i32 and buf == 0:
+                        lhs = lhs.astype(jnp.int8)
+                prod = lax.dot_general(
+                    lhs, rhs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                if d_shift:
+                    prod = prod << d_shift
+                rec = prod if rec is None else rec + prod
+            pacc = rec if pacc is None else pacc + rec
+        word = pacc[:, 0:t]
+        for limb in range(1, 4):
+            word = word + (pacc[:, limb * t: (limb + 1) * t] << (8 * limb))
+        for posm, sgn in placed:
+            dst = pl.ds(k_col * n + posm * t, t)
+            if sgn == 1:
+                acc_ref[:, dst] = acc_ref[:, dst] + word
+            else:
+                acc_ref[:, dst] = acc_ref[:, dst] - word
+
+
 def _sparse_mk_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref, dig_ref,
                       dcomb_ref, ebuf_ref, rot_ref, sem, sem_io, *, n, k1, l,
                       b, t, offset, combo_writes, units, dig_i32):
@@ -941,49 +985,17 @@ def _sparse_mk_kernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref, dig_ref,
     n_units = len(units)
     for cp in unit_dmas(0, 0):
         cp.start()
-    for ui, (e_tiles, k_col, outs) in enumerate(units):
+    for ui, unit in enumerate(units):
         slot = ui % 2
         if ui + 1 < n_units:
             for cp in unit_dmas(ui + 1, (ui + 1) % 2):
                 cp.start()
         for cp in unit_dmas(ui, slot):
             cp.wait()
-        for ops, placed in outs:
-            pacc = None
-            for a, descs in ops:
-                rhs = ebuf_ref[slot, pl.ds(a * lt, lt), :]
-                rec = None
-                for buf, lrow0, d_shift in descs:
-                    if buf == 2:
-                        # Mosaic has no int8 vector adds: sum in int32, then
-                        # narrow (exact: plan bounds digit sums to int8)
-                        lhs = dig_ref[:, lrow0[0]: lrow0[0] + lt].astype(
-                            jnp.int32)
-                        for rr in lrow0[1:]:
-                            lhs = lhs + dig_ref[:, rr: rr + lt].astype(
-                                jnp.int32)
-                        lhs = lhs.astype(jnp.int8)
-                    else:
-                        src = dcomb_ref if buf else dig_ref
-                        lhs = src[:, lrow0: lrow0 + lt]
-                        if dig_i32 and buf == 0:
-                            lhs = lhs.astype(jnp.int8)
-                    prod = lax.dot_general(
-                        lhs, rhs, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                    if d_shift:
-                        prod = prod << d_shift
-                    rec = prod if rec is None else rec + prod
-                pacc = rec if pacc is None else pacc + rec
-            word = pacc[:, 0:t]
-            for limb in range(1, 4):
-                word = word + (pacc[:, limb * t: (limb + 1) * t] << (8 * limb))
-            for posm, sgn in placed:
-                dst = pl.ds(k_col * n + posm * t, t)
-                if sgn == 1:
-                    acc_ref[:, dst] = acc_ref[:, dst] + word
-                else:
-                    acc_ref[:, dst] = acc_ref[:, dst] - word
+        _unit_dots_body(
+            dig_ref, dcomb_ref, acc_ref, unit,
+            lambda a, slot=slot: ebuf_ref[slot, pl.ds(a * lt, lt), :],
+            n=n, t=t, lt=lt, dig_i32=dig_i32)
 
     cp_out = pltpu.make_async_copy(
         acc_ref, out_hbm.at[pl.ds(c * bt, bt)], sem_io)
@@ -1037,48 +1049,17 @@ def _sparse_mk_megakernel(bara_ref, acc_hbm, e_hbm, out_hbm, acc_ref, dig_ref,
             acc_flat=True)
         _combo_body(dig_ref, dcomb_ref, combo_writes, k1 * lt)
 
-        for ui, (e_tiles, k_col, outs) in enumerate(units):
+        for ui, unit in enumerate(units):
             slot = ui % 2
             if ui + 1 < n_units:
                 for cp in unit_dmas(s, ui + 1, (ui + 1) % 2):
                     cp.start()
             for cp in unit_dmas(s, ui, slot):
                 cp.wait()
-            for ops, placed in outs:
-                pacc = None
-                for a, descs in ops:
-                    rhs = ebuf_ref[slot, pl.ds(a * lt, lt), :]
-                    rec = None
-                    for buf, lrow0, d_shift in descs:
-                        if buf == 2:
-                            lhs = dig_ref[:, lrow0[0]: lrow0[0] + lt].astype(
-                                jnp.int32)
-                            for rr in lrow0[1:]:
-                                lhs = lhs + dig_ref[:, rr: rr + lt].astype(
-                                    jnp.int32)
-                            lhs = lhs.astype(jnp.int8)
-                        else:
-                            src = dcomb_ref if buf else dig_ref
-                            lhs = src[:, lrow0: lrow0 + lt]
-                            if dig_i32 and buf == 0:
-                                lhs = lhs.astype(jnp.int8)
-                        prod = lax.dot_general(
-                            lhs, rhs, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-                        if d_shift:
-                            prod = prod << d_shift
-                        rec = prod if rec is None else rec + prod
-                    pacc = rec if pacc is None else pacc + rec
-                word = pacc[:, 0:t]
-                for limb in range(1, 4):
-                    word = word + (
-                        pacc[:, limb * t: (limb + 1) * t] << (8 * limb))
-                for posm, sgn in placed:
-                    dst = pl.ds(k_col * n + posm * t, t)
-                    if sgn == 1:
-                        acc_ref[:, dst] = acc_ref[:, dst] + word
-                    else:
-                        acc_ref[:, dst] = acc_ref[:, dst] - word
+            _unit_dots_body(
+                dig_ref, dcomb_ref, acc_ref, unit,
+                lambda a, slot=slot: ebuf_ref[slot, pl.ds(a * lt, lt), :],
+                n=n, t=t, lt=lt, dig_i32=dig_i32)
         return 0
 
     jax.lax.fori_loop(0, n_steps, step_body, 0)
@@ -1163,6 +1144,193 @@ def mk_blind_rotate_pallas_chunk(acc, e_chunk, bara_t, *, n, k1, l, b, t,
         interpret=interpret,
     )(bara3, acc.reshape(b_sz, k1 * n),
       e_chunk.reshape(s_steps * e_step_rows, 4 * t))
+    return out.reshape(b_sz, k1, n)
+
+
+def _mk_compact_megakernel(limbs_ref, bara_ref, acc_hbm, out_hbm, acc_all,
+                           words_ref, comb_ref, base_ref, ebuf_ref, dig_ref,
+                           dcomb_ref, rot_ref, sem_io, *, n, k1, l, b, t,
+                           offset, combo_writes, units, units_exp, dig_i32,
+                           n_steps):
+    """Multi-key blind rotation from the COMPACT key: grid over the steps,
+    the whole batch group's accumulator resident in VMEM, each step's sparse
+    nonzero blocks expanded IN-KERNEL (one strided lane rotate per
+    entry-tile, exactly the single-key compact machinery of
+    `_expand_entries_body` applied to the sparse MK layout) and consumed
+    straight from VMEM. The expanded operand never exists in HBM, and the
+    per-step XLA expansion launches of the chunked path
+    (mk/internals.py expand_one) disappear entirely.
+
+    Because rotate/decompose and the unit dots run over the FULL resident
+    group (the MXU tiles large row counts internally), each step's expansion
+    runs exactly once per group — there is no batch-cell loop to amortize
+    against. Bit-exact vs scanning cmux_step_pallas_sparse
+    (tests/test_mk_megakernel.py).
+
+    limbs_ref block: int8[1, 4*NZ*l, 2N] (nz-selected compact limbs);
+    bara_ref block: int32[1, group]; units_exp[ui] = (zi, entries) with
+    entries the unit's leaf entry index-sets in packed (reversed) order.
+    """
+    lt = l * t
+    t2 = 2 * t
+    n2 = 2 * n
+    zl = words_ref.shape[0]  # NZ * l
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _load_acc():
+        cp = pltpu.make_async_copy(acc_hbm, acc_all, sem_io)
+        cp.start()
+        cp.wait()
+
+    # --- words reconstruction: int8 limb rows -> int32 doubled words
+    lb = limbs_ref[0]
+    words_ref[...] = (
+        lb[0:zl].astype(jnp.int32)
+        + (lb[zl: 2 * zl].astype(jnp.int32) << 8)
+        + (lb[2 * zl: 3 * zl].astype(jnp.int32) << 16)
+        + (lb[3 * zl: 4 * zl].astype(jnp.int32) << 24)
+    )
+
+    # --- rotate + decompose + combos over the full group
+    _rotate_decompose_body(
+        acc_all, rot_ref, dig_ref, bara_ref[0, 0, :],
+        n=n, k1=k1, l=l, b=b, t=t, offset=offset, dig_i32=dig_i32,
+        acc_flat=True)
+    _combo_body(dig_ref, dcomb_ref, combo_writes, k1 * lt)
+
+    def window(zi, d):
+        rows = slice(zi * l, (zi + 1) * l)
+        lo = d * t - t
+        if lo < 0:  # d == 0 wraps below (words are 2N-periodic)
+            return jnp.concatenate(
+                [words_ref[rows, n2 + lo:], words_ref[rows, 0: lo + t2]],
+                axis=-1)
+        return words_ref[rows, lo: lo + t2]
+
+    for ui, unit in enumerate(units):
+        zi, gentries = units_exp[ui]
+        # expand this unit's entry tiles into ebuf: tile[a][l'*T+u, limb*T+w]
+        # = limb_split(C_a[l', T + w - u]) via one strided roll per entry
+        # (cross-block wrap only contaminates lanes < u of each 2T block,
+        # which the [T, 2T) read window never touches)
+        for a, entry in enumerate(gentries):
+            comb = window(zi, entry[0])
+            for d in entry[1:]:
+                comb = comb + window(zi, d)  # int32 wraparound: exact
+            comb_ref[...] = comb  # [l, 2T]
+            for lj in range(l):
+                base_ref[:, lj * t2: (lj + 1) * t2] = jnp.broadcast_to(
+                    comb_ref[lj: lj + 1, :], (t, t2))
+            rolled = pltpu.roll(base_ref[...], 0, 1, stride=1, stride_axis=0)
+            for lj in range(l):
+                cur = rolled[:, lj * t2 + t: (lj + 1) * t2]  # [T, T] int32
+                for limb in range(4):
+                    lo8 = ((cur & 255) ^ 128) - 128  # balanced low byte
+                    ebuf_ref[a * lt + lj * t: a * lt + (lj + 1) * t,
+                             limb * t: (limb + 1) * t] = lo8.astype(jnp.int8)
+                    if limb < 3:
+                        cur = (cur - lo8) >> 8
+        _unit_dots_body(
+            dig_ref, dcomb_ref, acc_all, unit,
+            lambda a: ebuf_ref[pl.ds(a * lt, lt), :],
+            n=n, t=t, lt=lt, dig_i32=dig_i32)
+
+    @pl.when(s == n_steps - 1)
+    def _store_acc():
+        cp = pltpu.make_async_copy(acc_all, out_hbm, sem_io)
+        cp.start()
+        cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "k1", "l", "b", "t", "plan", "nz", "offset",
+                     "interpret", "group_budget"),
+)
+def mk_blind_rotate_pallas_compact(acc, limbs, bara_t, *, n, k1, l, b, t,
+                                   plan, nz, offset, interpret=False,
+                                   group_budget=28 << 20):
+    """A party's full n-step multi-key blind rotation from the COMPACT key
+    as grid-over-steps megakernel launches with in-kernel sparse expansion.
+
+    acc: int32[B, k1, N] (k1 = active components, triangular rotation);
+    limbs: int8[n_steps, 4, NZ, l, 2N] — the nz-selected compact prepared
+    limbs (sparse-stored keys sliced by `sel`, or dense prepared keys with
+    the nz blocks stacked); bara_t: int32[n_steps, B] in [0, 2N).
+    The batch splits into groups whose resident accumulator + digit buffers
+    fit `group_budget` of VMEM; each group re-runs the per-step expansion
+    (measured negligible on the single-key compact path). Bit-exact vs the
+    per-step sparse kernel. Reference hot loop: src/mk_internals.jl:473-485.
+    """
+    assert n & (n - 1) == 0
+    b_sz = acc.shape[0]
+    m = n // t
+    p = k1 * l
+    pt = p * t
+    lt = l * t
+    n_steps = limbs.shape[0]
+    nzn = len(nz)
+    assert limbs.shape[1:] == (4, nzn, l, 2 * n), limbs.shape
+
+    combo_writes, units, comb_rows = _sparse_plan(plan, l, p, t, nz)
+    dig_i32 = b > 8
+    max_l = max(len(u[0]) for u in units)
+
+    units_exp = []
+    for lf in plan.leaves:
+        gentries = tuple(tuple(e) for e in reversed(lf.entries))
+        for zi in range(nzn):
+            units_exp.append((zi, gentries))
+    units_exp = tuple(units_exp)
+
+    row_bytes = (k1 * n * 4 + m * pt * (4 if dig_i32 else 1) + n * 4
+                 + max(comb_rows, 1) * pt)
+    group = _pick_tile(b_sz, max(1, min(b_sz, group_budget // row_bytes)))
+    zl = nzn * l
+
+    fn = functools.partial(
+        _mk_compact_megakernel,
+        n=n, k1=k1, l=l, b=b, t=t, offset=offset,
+        combo_writes=combo_writes, units=units, units_exp=units_exp,
+        dig_i32=dig_i32, n_steps=n_steps,
+    )
+    run = pl.pallas_call(
+        fn,
+        out_shape=jax.ShapeDtypeStruct((group, k1 * n), jnp.int32),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((1, 4 * zl, 2 * n), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # [n_steps, 1, group]: the unit middle dim keeps the block's
+            # last two dims equal to the array's (Mosaic tiling rule)
+            pl.BlockSpec((1, 1, group), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # acc group: one-time DMA in
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # one-time DMA out
+        scratch_shapes=[
+            pltpu.VMEM((group, k1 * n), jnp.int32),  # resident accumulator
+            pltpu.VMEM((zl, 2 * n), jnp.int32),  # step's doubled words
+            pltpu.VMEM((l, 2 * t), jnp.int32),  # entry combo windows
+            pltpu.VMEM((t, l * 2 * t), jnp.int32),  # roll base
+            pltpu.VMEM((max_l * lt, 4 * t), jnp.int8),  # expanded unit tiles
+            pltpu.VMEM((group, m * pt), jnp.int32 if dig_i32 else jnp.int8),
+            pltpu.VMEM((group, max(comb_rows, 1) * pt), jnp.int8),
+            pltpu.VMEM((group, n), jnp.int32),  # rotate barrel scratch
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )
+    limbs_r = limbs.reshape(n_steps, 4 * zl, 2 * n)
+    outs = []
+    for g0 in range(0, b_sz, group):
+        outs.append(run(
+            limbs_r, bara_t[:, None, g0: g0 + group],
+            lax.slice_in_dim(acc.reshape(b_sz, k1 * n), g0, g0 + group)))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return out.reshape(b_sz, k1, n)
 
 

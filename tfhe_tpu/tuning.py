@@ -73,6 +73,9 @@ class TuningConfig:
     mk_mega: str = "auto"       # chunked MK megakernel: auto|0|1 (auto =
                                 # parties >= 4; measured r3: 2-party 1567 vs
                                 # 1604 per-step, 4-party 386 vs 382)
+    mk_compact: str = "auto"    # MK compact megakernel (in-kernel sparse
+                                # expansion, zero HBM expanded operand):
+                                # auto|0|1; auto = on for compiled TPU runs
     mk_progressive: bool = True  # triangular MK rotation: skip the blocks of
                                  # parties not yet processed (their acc
                                  # components are structurally zero) —
@@ -115,6 +118,7 @@ _ENV = {
     "mk_cmux": "TFHE_TPU_MK_CMUX",
     "mk_chunk": "TFHE_TPU_MK_CHUNK",
     "mk_mega": "TFHE_TPU_MK_MEGA",
+    "mk_compact": "TFHE_TPU_MK_COMPACT",
     "mk_progressive": "TFHE_TPU_MK_PROGRESSIVE",
     "radix_manylut": "TFHE_TPU_RADIX_MANYLUT",
     "pipe_ablate": "TFHE_TPU_PIPE_ABLATE",
