@@ -73,6 +73,7 @@ def main():
     params = {
         "128": tt.tfhe_parameters_128,
         "128fast": tt.tfhe_parameters_128_fast,
+        "128fast8": tt.tfhe_parameters_128_fast8,
         "80": tt.tfhe_parameters_80,
         "toy": tt.tfhe_parameters_toy,
     }[which]()
@@ -147,7 +148,7 @@ def main():
     # pinned at that level get a ratio — "128" itself and "128fast", rated
     # bit-for-bit identical by tools/security_estimate.py — anything else
     # (80/toy) emits null rather than an apples-to-oranges number.
-    at_128_level = which in ("128", "128fast")
+    at_128_level = which in ("128", "128fast", "128fast8")
     print(json.dumps({
         "metric": "nand_bootstraps_per_sec_128bit",
         "value": round(throughput, 1),

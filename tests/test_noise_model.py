@@ -142,6 +142,34 @@ def test_fast_preset_margins():
             assert margin / sigma >= floor, (params, margin, margin / sigma)
 
 
+def test_fast8_preset_margin_tier():
+    """`tfhe_parameters_128_fast8` (k=8, N=128, M=1) is the documented
+    ~1e-8/gate reliability TIER: its boolean margin sits in [5.5, 7] sigma
+    (model ~5.8 — tools/derive_fast_params.py), clearly below the
+    cryptographic-grade 128_fast and clearly above coin-flip territory.
+    Pins both sides so a parameter change can't silently move the tier.
+    """
+    import math
+
+    from tfhe_tpu.noise import blind_rotate_var, keyswitch_var
+
+    params = tt.tfhe_parameters_128_fast8()
+    v_out = blind_rotate_var(
+        params.lwe_size, params.tlwe_mask_size, params.bs_decomp_length,
+        params.bs_log2_base, params.tlwe_polynomial_degree,
+        params.bs_noise_stddev, params.gadget_balanced,
+    ) + keyswitch_var(
+        params.extracted_size, params.ks_decomp_length,
+        params.ks_log2_base, params.ks_noise_stddev,
+    )
+    two_n = 2 * params.tlwe_polynomial_degree
+    v_ms = (params.lwe_size * 0.5 + 1) * (1.0 / two_n) ** 2 / 12.0
+    sigma1 = math.sqrt(2 * v_out + v_ms)
+    assert 5.5 <= 0.125 / sigma1 <= 7.0, 0.125 / sigma1
+    sigma2 = math.sqrt(8 * v_out + v_ms)
+    assert 0.25 / sigma2 >= 9.0, 0.25 / sigma2  # XOR/XNOR stay strong
+
+
 def test_mk_lownoise_preset_margin():
     """`mktfhe_parameters_2party_lownoise` pushes the 2-party gate failure
     from the reference preset's ~1.5%/gate to < 1e-12/gate (model;

@@ -42,10 +42,11 @@ def test_retuned_presets_match_reference():
 
     ref = se.estimate_preset(tt.tfhe_parameters_128())
     fast = se.estimate_preset(tt.tfhe_parameters_128_fast())
+    fast8 = se.estimate_preset(tt.tfhe_parameters_128_fast8())
     pbs = se.estimate_preset(tt.tfhe_parameters_128_pbs())
     radix = se.estimate_preset(tt.tfhe_parameters_128_radix())
     radix_rel = se.estimate_preset(tt.tfhe_parameters_128_radix_reliable())
-    for est in (fast, pbs, radix, radix_rel):
+    for est in (fast, fast8, pbs, radix, radix_rel):
         assert est["bits"] == ref["bits"]
         for inst in ("lwe", "ring"):
             assert est[inst]["n"] == ref[inst]["n"]

@@ -12,6 +12,7 @@ from .params import (
     tfhe_parameters_80,
     tfhe_parameters_128,
     tfhe_parameters_128_fast,
+    tfhe_parameters_128_fast8,
     tfhe_parameters_128_pbs,
     tfhe_parameters_128_radix,
     tfhe_parameters_128_radix_reliable,

@@ -33,13 +33,18 @@ from .tlwe import (
 
 
 def _default_block(poly_degree: int) -> int:
-    """Toeplitz block size T: the TPU lane width (128) when possible,
-    M = N/T >= 2. T=128 is required by the Pallas CMUX kernels (Mosaic
-    forbids lane-splitting reshapes, so every block boundary must be
-    lane-aligned); the baked key is n*2N*P*K4*T bytes (7.9 GB at T=128 for
-    the 128-bit preset — HBM traded for gather-free MXU streaming).
+    """Toeplitz block size T: the TPU lane width (128) when possible.
+    T=128 is required by the Pallas CMUX kernels (Mosaic forbids
+    lane-splitting reshapes, so every block boundary must be lane-aligned);
+    the baked key is n*2N*P*K4*T bytes (7.9 GB at T=128 for the 128-bit
+    preset — HBM traded for gather-free MXU streaming). N = 128 yields
+    M = 1 — a single full negacyclic Toeplitz block per polynomial
+    (depth-0 single-leaf plan; the 128_fast8 geometry) — which every
+    kernel path handles.
     """
-    for t in (128, 64, 32, 16, 8, 4, 2, 1):
+    if poly_degree % 128 == 0:
+        return 128
+    for t in (64, 32, 16, 8, 4, 2, 1):
         if poly_degree % t == 0 and poly_degree // t >= 2:
             return t
     return 1
@@ -280,8 +285,10 @@ def blind_rotate(accum: TLweSample, bk: BootstrapKey, bara) -> TLweSample:
         # (tests/test_compact_key.py).
         k1 = bk.mask_size + 1
         n_deg = bk.polynomial_degree
-        fast = _use_pallas_cmux() and bk.depth and (
-            interpret or (t == 128 and n_deg % 128 == 0 and n_deg // t >= 2))
+        # depth >= 1, or the M = 1 degenerate geometry (N == T: a depth-0
+        # single-leaf plan is the exact dense convolution)
+        fast = _use_pallas_cmux() and (bk.depth or n_deg == t) and (
+            interpret or (t == 128 and n_deg % 128 == 0))
         if fast:
             from .ops.pallas_cmux import blind_rotate_pallas_compact
             from .tgsw import decomp_offset

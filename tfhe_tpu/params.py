@@ -154,6 +154,49 @@ def tfhe_parameters_128_fast() -> SchemeParameters:
     )
 
 
+def tfhe_parameters_128_fast8() -> SchemeParameters:
+    """The k=8, N=128 frontier re-split of the 128-bit instance (M=1).
+
+    Same attacker-visible lattice instance as `tfhe_parameters_128` /
+    `tfhe_parameters_128_fast` (unstructured dimension k*N = 1024, q=2^32,
+    binary secret, sigma 2^-25; LWE and keyswitch untouched — the pinned
+    core-SVP estimate is bit-for-bit identical, tools/security_estimate.py),
+    pushed one step further along the byte-MAC curve
+    MACs ∝ n*l*(k+1)^2*N^2: 6.7G byte-MACs/gate vs 128_fast's 10.4G and
+    the shipped k=4 preset's 8.3G — algorithmic ceiling ~29,500 gates/s
+    (tools/derive_fast_params.py).
+
+    With N = T = 128 the block-Toeplitz structure degenerates to M=1: ONE
+    full negacyclic Toeplitz product per CMUX step (depth-0 plan, single
+    leaf), fully lane-aligned. The TPU path runs it through the COMPACT
+    megakernel (in-kernel Toeplitz expansion — at M=1 the expansion is 18
+    strided rolls per step and the whole step operand is 10.6 MB of VMEM),
+    so the 6.2 GB baked form is never needed.
+
+    THE TRADE: the boolean decision margin shrinks to 5.8 sigma — model
+    failure ~7e-9 per 2-input gate (vs 2e-38 at 128_fast). That is a
+    documented reliability TIER, not a free win: use it where ~1e-8/gate
+    is acceptable (bulk batch computation with outer error handling);
+    keep `tfhe_parameters_128_fast` where cryptographic-grade gate
+    reliability matters. Margins: tools/derive_fast_params.py; failure
+    model asserted by tests/test_noise_model.py.
+    """
+    return SchemeParameters(
+        lwe_size=630,
+        lwe_noise_stddev=2.0**-15,
+        tlwe_polynomial_degree=128,
+        tlwe_mask_size=8,
+        bs_decomp_length=2,
+        bs_log2_base=8,
+        bs_noise_stddev=2.0**-25,
+        ks_decomp_length=8,
+        ks_log2_base=2,
+        ks_noise_stddev=2.0**-15,
+        max_parties=1,
+        gadget_balanced=True,
+    )
+
+
 def tfhe_parameters_128_pbs() -> SchemeParameters:
     """~128-bit preset retuned for PROGRAMMABLE bootstrapping (k=2, N=512).
 

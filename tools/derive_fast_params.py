@@ -74,14 +74,14 @@ def failure(margin: float, sigma: float) -> float:
 
 
 def analyse(tag: str, k: int, big_n: int, l: int, b: int, depth: int,
-            balanced: bool = False):
-    m = big_n // T
+            balanced: bool = False, t: int = T):
+    m = big_n // t
     depth = min(depth, m.bit_length() - 1)
     plan = karatsuba_plan(m, depth, b)
     p, kk = (k + 1) * l, k + 1
-    byte_macs = N_LWE * plan.macs_superblocks * (p * T) * (kk * 4 * T)
+    byte_macs = N_LWE * plan.macs_superblocks * (p * t) * (kk * 4 * t)
     ceiling = V5E_BYTE_MACS / byte_macs
-    key_gb = N_LWE * plan.total_rows * p * T * kk * 4 * T / 2**30
+    key_gb = N_LWE * plan.total_rows * p * t * kk * 4 * t / 2**30
     s1 = gate_sigma(k, big_n, l, b, 1, balanced)
     s2 = gate_sigma(k, big_n, l, b, 2, balanced)
     f1 = failure(1.0 / 8, s1)   # NAND/AND/OR/...: phases +-1/8, margin 1/8
@@ -127,6 +127,12 @@ if __name__ == "__main__":
     analyse("biased k2 N512 l2 b8: BROKEN", 2, 512, 2, 8, 2)
     analyse("128_fast (balanced l2 b8)", 2, 512, 2, 8, 2, balanced=True)
     analyse("balanced k4 N256 l2 b8", 4, 256, 2, 8, 1, balanced=True)
+    # round-5 frontier point: k=8, N=128 with T = N = 128 — the block
+    # structure degenerates to M=1 (ONE full negacyclic Toeplitz product
+    # per step, lane-aligned, no sub-lane T=64 blocks), so the existing
+    # kernels apply once the M >= 2 assumption is lifted
+    analyse("balanced k8 N128 l2 b8 (M=1)", 8, 128, 2, 8, 0, balanced=True)
+    analyse("balanced k8 N128 l3 b6 (M=1)", 8, 128, 3, 6, 0, balanced=True)
 
     print()
     print("radix (S=8) digit margins — the Pareto behind "

@@ -99,6 +99,34 @@ def main():
         "unit": "gates/s", "correct": correct, "batch": batch,
     }))
 
+    # MK_BENCH_STAGES=1: per-stage budget (rotation+extract vs keyswitch),
+    # for the STATUS stage table. Costs one extra compile of the rotation.
+    if os.environ.get("MK_BENCH_STAGES") == "1":
+        mu = tt.numeric.encode_message(1, 8)
+        lin = mk.internals.mk_lwe_noiseless_trivial(
+            mu, params.lwe_size, parties, x.b.shape) - x - y
+        wo = jax.jit(lambda bk_, s: mk.internals.mk_bootstrap_wo_keyswitch(
+            bk_, mu, s))
+        u = wo(mck.bootstrap_key, lin)
+        device_barrier(u)
+        t0 = time.time()
+        u = wo(mck.bootstrap_key, lin)
+        device_barrier(u)
+        t_rot = time.time() - t0
+        ksw = jax.jit(mk.internals.mk_keyswitch)
+        v = ksw(mck.keyswitch_keys, u)
+        device_barrier(v)
+        t0 = time.time()
+        v = ksw(mck.keyswitch_keys, u)
+        device_barrier(v)
+        t_ks = time.time() - t0
+        print(json.dumps({
+            "metric": f"mk{parties}_stage_budget", "batch": batch,
+            "rotation_extract_ms": round(t_rot * 1e3, 1),
+            "keyswitch_ms": round(t_ks * 1e3, 1),
+            "gate_ms": round(dt * 1e3, 1),
+        }))
+
 
 if __name__ == "__main__":
     main()
