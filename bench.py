@@ -80,9 +80,22 @@ def main():
     log(f"bench: backend={backend} batch={batch} iters={iters} params={which}")
 
     t0 = time.time()
-    sk, ck = jax.jit(tt.make_key_pair, static_argnums=1)(
-        jax.random.PRNGKey(123), params
-    )
+    if which == "128fast8":
+        # The k=8/N=128 geometry is compact-by-design: at M=1 the baked form
+        # is a ~13 GB pure memory hog with no block-recombine advantage (the
+        # compact megakernel regenerates each step operand with 18 strided
+        # rolls in VMEM — params.py docstring). Fresh closure: the jit cache
+        # keys on fn identity + avals, not TuningConfig (tuning.py CAVEAT).
+        from tfhe_tpu import tuning as _tuning
+
+        with _tuning.override(bs_bake_budget=0):
+            sk, ck = jax.jit(lambda r: tt.make_key_pair(r, params))(
+                jax.random.PRNGKey(123)
+            )
+    else:
+        sk, ck = jax.jit(tt.make_key_pair, static_argnums=1)(
+            jax.random.PRNGKey(123), params
+        )
     jax.block_until_ready(ck.bootstrap_key.baked)
     log(f"keygen: {time.time() - t0:.1f}s")
 

@@ -2,12 +2,24 @@
 
 Prints one JSON line per config (the driver's headline metric stays in
 bench.py). Configs (BASELINE.md "Measured configs"):
-  1. single NAND latency, 80-bit (tutorial) params
-  2. full gate set, decrypt-verified (keyswitch path exercised per gate)
-  3. 4096-gate batched NAND bootstrap throughput, 128-bit params
-  4. 8-bit ripple-carry adder throughput (words/sec)
-  4b. 8-bit radix adder throughput (base-4 digits on PBS, 1 rotation/bit)
-  5. 2-party multi-key NAND throughput
+  80bit:          single NAND latency (plain/chained/compact key) + gate set
+  128core:        batched NAND + PBS LUT4 + adder8 + radix adder, 128 preset
+  fast:           batched NAND on the TPU-retuned 128_fast preset
+  fast8:          batched NAND on the k=8/N=128 reliability tier
+  radix_preset:   radix adder on the radix-tuned preset
+  radix_reliable: the <=1e-9/word config (manylut off)
+  mk2 / mk2_ref:  2-party MK NAND (zero-error lownoise headline + the
+                  reference-fidelity preset, labeled)
+  mk4 / mk8:      4- and 8-party MK NAND
+
+PROCESS ISOLATION: run without env to execute EVERY section in its own
+subprocess — one fresh TPU client per section, so a 16 GB chip never has
+to hold two presets' baked keys (or a long process's allocator
+fragmentation) at once; a section failure is emitted as an artifact line
+instead of sinking the rest. Round-5 motivation: the monolithic suite
+OOM'd at the 6th baked keygen even though every section fits alone.
+TFHE_SUITE_SECTIONS=a,b,... runs the named sections in-process (that is
+also what each subprocess does).
 
 Env: TFHE_SUITE_SMALL=1 shrinks batches for CPU smoke runs.
 """
@@ -16,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -31,24 +44,27 @@ def emit(metric, value, unit, extra=None):
     print(json.dumps(rec), flush=True)
 
 
-def main():
+def _small():
+    import jax
+
+    small = bool(int(os.environ.get("TFHE_SUITE_SMALL", "0")))
+    if jax.default_backend() != "tpu" and not small:
+        log("not on TPU; forcing TFHE_SUITE_SMALL=1")
+        small = True
+    return small
+
+
+def sec_80bit():
+    """Single NAND latency (plain / device-chained / compact key) + the
+    10-gate set, 80-bit (tutorial) params."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     import tfhe_tpu as tt
-    import tfhe_tpu.mk as mk
-    from tfhe_tpu import circuits, gates
-    from tfhe_tpu.utils.sync import prime_sync
+    from tfhe_tpu import gates
 
-    prime_sync()  # tunneled-TPU: honest AND fast dispatch mode (utils/sync.py)
-    small = bool(int(os.environ.get("TFHE_SUITE_SMALL", "0")))
-    on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu and not small:
-        log("not on TPU; forcing TFHE_SUITE_SMALL=1")
-        small = True
-
-    # --- 1+2: 80-bit keygen, single NAND latency, full gate set ---
+    small = _small()
     p80 = tt.tfhe_parameters_toy() if small else tt.tfhe_parameters_80()
     sk, ck = jax.jit(tt.make_key_pair, static_argnums=1)(
         jax.random.PRNGKey(123), p80
@@ -88,15 +104,15 @@ def main():
     emit("chained_nand_device_latency_80bit",
          (time.time() - t0) / chain_n * 1e3, "ms", {"chain": chain_n})
 
-    # --- 1c: single NAND latency with the COMPACT (multi-tenant) key ---
-    # prepared limbs expanded per step (docs/serving.md): ~T x smaller key;
+    # single NAND latency with the COMPACT (multi-tenant) key: prepared
+    # limbs expanded in-kernel per step (docs/serving.md): ~T x smaller key;
     # batch-1 latency is key-streaming/expansion-bound either way.
     from tfhe_tpu import tuning as _tuning
 
     with _tuning.override(bs_bake_budget=0):
         # fresh closure: the jit cache is keyed by fn identity + avals, not
-        # TuningConfig — reusing the section-1 jitted keygen would return
-        # the baked form again
+        # TuningConfig — reusing the jitted keygen above would return the
+        # baked form again
         skc, ckc = jax.jit(lambda r: tt.make_key_pair(r, p80))(
             jax.random.PRNGKey(123)
         )
@@ -129,10 +145,19 @@ def main():
         ok += int((got == np.asarray(ref(xs, ys))).all())
     emit("gate_set_correct", ok, f"/{len(table)} gates")
 
-    # --- 3: batched NAND throughput, 128-bit ---
-    # free the 80-bit key material first (4.2 GB baked key; holding both
-    # presets' keys plus bake temporaries exhausts a 16 GB chip)
-    del ck, sk, cx, cy, one_x, one_y, out
+
+def sec_128core():
+    """Batched NAND throughput, PBS LUT4, ripple-carry adder, and the
+    radix adder — all on the reference-geometry 128-bit preset (one shared
+    8.9 GB baked key)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tfhe_tpu as tt
+    from tfhe_tpu import circuits, gates
+
+    small = _small()
     p128 = tt.tfhe_parameters_toy() if small else tt.tfhe_parameters_128()
     sk2, ck2 = jax.jit(tt.make_key_pair, static_argnums=1)(
         jax.random.PRNGKey(7), p128
@@ -150,28 +175,9 @@ def main():
     jax.block_until_ready(out)
     emit("batched_nand_throughput_128bit", B * iters / (time.time() - t0),
          "gates/s", {"batch": B})
+    del bx, by, out
 
-    # --- 3a: batched NAND at the TPU-retuned 128-bit preset (the bench.py
-    # headline config; same lattice instances/security — docs/params_fast.md)
-    del bx, by
-    pfast = tt.tfhe_parameters_toy() if small else tt.tfhe_parameters_128_fast()
-    skf, ckf = jax.jit(tt.make_key_pair, static_argnums=1)(
-        jax.random.PRNGKey(17), pfast
-    )
-    jax.block_until_ready(ckf.bootstrap_key.baked)
-    fx = tt.encrypt(jax.random.PRNGKey(18), skf, jnp.arange(B) % 2 == 0)
-    fy = tt.encrypt(jax.random.PRNGKey(19), skf, jnp.arange(B) % 3 == 0)
-    nandf = jax.jit(gates.gate_nand)
-    outf = nandf(ckf, fx, fy); jax.block_until_ready(outf)
-    t0 = time.time()
-    for _ in range(iters):
-        outf = nandf(ckf, outf, fy)
-    jax.block_until_ready(outf)
-    emit("batched_nand_throughput_128fast", B * iters / (time.time() - t0),
-         "gates/s", {"batch": B})
-    del skf, ckf, fx, fy, outf
-
-    # --- 3b: programmable bootstrapping (4-entry LUT) throughput ---
+    # programmable bootstrapping (4-entry LUT) throughput
     from tfhe_tpu import pbs as pbs_mod
 
     S = 4
@@ -192,7 +198,7 @@ def main():
          {"batch": B, "correct": int((got == want).sum()), "of": B})
     del px, out_p
 
-    # --- 4: 8-bit ripple-carry adder (error-COUNTED per word) ---
+    # 8-bit ripple-carry adder (error-COUNTED per word)
     W = 8 if small else 512
     av = jnp.arange(W, dtype=jnp.uint32) % 251
     bv = (jnp.arange(W, dtype=jnp.uint32) * 7) % 253
@@ -208,10 +214,11 @@ def main():
     want = np.asarray((av + 2 * bv) % 256)
     emit("adder8_words_per_sec", W / dt, "adds/s",
          {"correct": int((got == want).sum()), "of": W})
+    del ca, cb, out
 
-    # --- 4b: 8-bit radix adder (base-4 digits on PBS: 1 rotation/bit),
-    # production batch with COUNTED word errors (the reference 128 preset
-    # carries a model failure ~3.8e-3/word here — docs/leveled_mode.md 2b)
+    # 8-bit radix adder (base-4 digits on PBS: 1 rotation/bit), production
+    # batch with COUNTED word errors (the reference 128 preset carries a
+    # model failure ~3.8e-3/word here — docs/leveled_mode.md 2b)
     from tfhe_tpu import radix
 
     Wr = 8 if small else 4096
@@ -229,40 +236,131 @@ def main():
     want = np.asarray((rav + 2 * rbv) % 256)
     emit("radix_adder8_words_per_sec", Wr / dt, "adds/s",
          {"correct": int((got == want).sum()), "of": Wr, "params": "128"})
-    del ra_, rb_, out_r, ck2, sk2
 
-    # --- 4c: radix adder on the radix-tuned preset (balanced l3b7 gadget +
-    # ks l4 base16: model failure 7.9e-5/word at unchanged rotation cost)
+
+def _batched_nand(params_fn, metric, keygen_budget=None, extra=None):
+    """Shared body for the batched-NAND throughput sections: keygen
+    (optionally under a bake-budget override), one warmup NAND, `iters`
+    timed chained layers, decrypt-checked."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tfhe_tpu as tt
+    from tfhe_tpu import gates, tuning
+
+    small = _small()
+    params = tt.tfhe_parameters_toy() if small else params_fn()
+    if keygen_budget is None:
+        sk, ck = jax.jit(tt.make_key_pair, static_argnums=1)(
+            jax.random.PRNGKey(17), params
+        )
+    else:
+        with tuning.override(bs_bake_budget=keygen_budget):
+            # fresh closure (tuning.py CAVEAT: jit cache keys on fn
+            # identity + avals, not TuningConfig)
+            sk, ck = jax.jit(lambda r: tt.make_key_pair(r, params))(
+                jax.random.PRNGKey(17))
+    jax.block_until_ready(ck.bootstrap_key.baked)
+    B = 64 if small else 4096
+    iters = 2 if small else 4
+    xb = np.arange(B) % 2 == 0
+    yb = np.arange(B) % 3 == 0
+    fx = tt.encrypt(jax.random.PRNGKey(18), sk, jnp.asarray(xb))
+    fy = tt.encrypt(jax.random.PRNGKey(19), sk, jnp.asarray(yb))
+    nandf = jax.jit(gates.gate_nand)
+    outf = nandf(ck, fx, fy); jax.block_until_ready(outf)
+    t0 = time.time()
+    for _ in range(iters):
+        outf = nandf(ck, outf, fy)
+    jax.block_until_ready(outf)
+    dt = time.time() - t0
+    want = ~(xb & yb)  # the warmup call; then `iters` timed layers
+    for _ in range(iters):
+        want = ~(want & yb)
+    got = np.asarray(tt.decrypt(sk, outf))
+    rec = {"batch": B, "correct": int((got == want).sum()), "of": B}
+    if extra:
+        rec.update(extra)
+    emit(metric, B * iters / dt, "gates/s", rec)
+
+
+def sec_fast():
+    """Batched NAND at the TPU-retuned 128-bit preset (the bench.py
+    headline config; same lattice instances/security — docs/params_fast.md)."""
+    import tfhe_tpu as tt
+
+    _batched_nand(tt.tfhe_parameters_128_fast, "batched_nand_throughput_128fast")
+
+
+def sec_fast8():
+    """The k=8/N=128 frontier re-split (reliability TIER: ~7e-9/gate model
+    failure vs 2e-38 at 128_fast — docs/params_fast.md). Compact-by-design:
+    at M=1 the baked form is a ~13 GB memory hog, so keygen runs under
+    bs_bake_budget=0."""
+    import tfhe_tpu as tt
+
+    _batched_nand(
+        tt.tfhe_parameters_128_fast8, "batched_nand_throughput_128fast8",
+        keygen_budget=0,
+        extra={"tier": "~7e-9/gate model failure (docs/params_fast.md)"})
+
+
+def sec_radix_preset():
+    """Radix adder on the radix-tuned preset (balanced l3b7 gadget +
+    ks l4 base16: model failure 7.9e-5/word at unchanged rotation cost)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tfhe_tpu as tt
+    from tfhe_tpu import radix
+
+    small = _small()
     pradix = tt.tfhe_parameters_toy() if small else \
         tt.tfhe_parameters_128_radix()
     skr, ckr = jax.jit(tt.make_key_pair, static_argnums=1)(
         jax.random.PRNGKey(41), pradix
     )
     jax.block_until_ready(ckr.bootstrap_key.baked)
+    Wr = 8 if small else 4096
+    rav = jnp.arange(Wr, dtype=jnp.uint32) % 251
+    rbv = (jnp.arange(Wr, dtype=jnp.uint32) * 7) % 253
     ra2 = radix.encrypt_radix(jax.random.PRNGKey(42), skr, rav, 8)
     rb2 = radix.encrypt_radix(jax.random.PRNGKey(43), skr, rbv, 8)
+    radd = jax.jit(radix.radix_add)
     out_r = radd(ckr, ra2, rb2); jax.block_until_ready(out_r)
     t0 = time.time()
     out_r = radd(ckr, out_r, rb2)
     jax.block_until_ready(out_r)
     dt = time.time() - t0
     got = np.asarray(radix.decrypt_radix(skr, out_r))
+    want = np.asarray((rav + 2 * rbv) % 256)
     emit("radix_adder8_words_per_sec_radix_preset", Wr / dt, "adds/s",
          {"correct": int((got == want).sum()), "of": Wr,
           "params": "128radix"})
-    del ra2, rb2, out_r, skr, ckr
 
-    # --- 4d: the <=1e-9/word RELIABLE config: 128_radix_reliable preset with
-    # PBSmanyLUT OFF (model failure 1.6e-10/word, docs/leveled_mode.md 2b) —
-    # the one shipped preset whose numbers were model-only before round 5
-    from tfhe_tpu import tuning as _tuning2
 
+def sec_radix_reliable():
+    """The <=1e-9/word RELIABLE config: 128_radix_reliable preset with
+    PBSmanyLUT OFF (model failure 1.6e-10/word, docs/leveled_mode.md 2b) —
+    the one shipped preset whose numbers were model-only before round 5."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tfhe_tpu as tt
+    from tfhe_tpu import radix, tuning
+
+    small = _small()
     prel = tt.tfhe_parameters_toy() if small else \
         tt.tfhe_parameters_128_radix_reliable()
-    with _tuning2.override(radix_manylut=False):
+    Wr = 8 if small else 4096
+    rav = jnp.arange(Wr, dtype=jnp.uint32) % 251
+    rbv = (jnp.arange(Wr, dtype=jnp.uint32) * 7) % 253
+    with tuning.override(radix_manylut=False):
         # fresh closures: the jit cache keys on fn identity + avals, not
-        # TuningConfig — reusing the earlier jitted radix_add would replay
-        # the manylut trace (tuning.py CAVEAT)
+        # TuningConfig (tuning.py CAVEAT)
         skl, ckl = jax.jit(lambda r: tt.make_key_pair(r, prel))(
             jax.random.PRNGKey(45))
         jax.block_until_ready(ckl.bootstrap_key.baked)
@@ -275,61 +373,86 @@ def main():
         jax.block_until_ready(out_r)
         dt = time.time() - t0
         got = np.asarray(radix.decrypt_radix(skl, out_r))
+    want = np.asarray((rav + 2 * rbv) % 256)
     emit("radix_adder8_words_per_sec_reliable", Wr / dt, "adds/s",
          {"correct": int((got == want).sum()), "of": Wr,
           "params": "128radix_reliable", "manylut": False,
           "model_failure_per_word": 1.6e-10})
-    del ra3, rb3, out_r, skl, ckl
 
-    # --- 5: 2-party MK NAND ---
-    # The HEADLINE row runs the zero-error lownoise preset (the documented
-    # default: the reference's own 2-party preset carries an intrinsic
-    # ~1.5%/gate failure, docs/mk_noise_budget.md); the reference-fidelity
-    # preset is measured separately and labeled.
-    del ca, cb, out  # (bx/by freed before 3a; ck2/sk2 freed after 4b)
 
-    def mk2_run(pmk, metric, extra=None):
-        r = jax.random.PRNGKey(21)
-        r_sh, r_e, ra, rb = jax.random.split(r, 4)
-        shared = mk.make_shared_key(r_sh, pmk)
-        sks, parts = [], []
-        for rr in (ra, rb):
-            r_sk, r_part = jax.random.split(rr)
-            s = tt.make_secret_key(r_sk, pmk)
-            sks.append(s)
-            parts.append(mk.make_cloud_key_part(r_part, s, shared))
-        t0 = time.time()
-        mck = mk.make_mk_cloud_key(parts)
-        jax.block_until_ready(mck.bootstrap_key.limbs)
-        log(f"mk expansion ({metric}): {time.time() - t0:.1f}s")
-        Bm = 4 if small else 4096
-        m1 = jnp.arange(Bm) % 2 == 0
-        e1 = mk.mk_encrypt(jax.random.PRNGKey(22), sks, m1)
-        e2 = mk.mk_encrypt(jax.random.PRNGKey(23), sks, ~m1)
-        mknand = jax.jit(mk.mk_gate_nand)
-        out = mknand(mck, e1, e2); jax.block_until_ready(out)
-        t0 = time.time()
-        out = mknand(mck, out, e2)
-        jax.block_until_ready(out)
-        dt = time.time() - t0
-        dec = np.asarray(mk.mk_decrypt(sks, out))
-        want = ~(np.asarray(~(m1 & ~m1)) & np.asarray(~m1))
-        rec = {"batch": Bm, "errors": int((dec != want).sum())}
-        if extra:
-            rec.update(extra)
-        emit(metric, Bm / dt, "gates/s", rec)
+def _mk2_run(pmk, metric, extra=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
 
-    mk2_run(mk.mktfhe_parameters_toy(2) if small
-            else mk.mktfhe_parameters_2party_lownoise(),
-            "mk2_nand_throughput", {"preset": "2party_lownoise"})
-    mk2_run(mk.mktfhe_parameters_toy(2) if small
-            else mk.mktfhe_parameters_2party(),
-            "mk2_nand_throughput_reference_preset",
-            {"preset": "2party (reference fidelity; intrinsic ~1.5%/gate "
-                       "failure, docs/mk_noise_budget.md)"})
+    import tfhe_tpu as tt
+    import tfhe_tpu.mk as mk
 
-    # --- 5b: 4-party MK NAND (party keys shardable across hosts) ---
-    # (mk2 key material is function-local to mk2_run and already freed)
+    small = _small()
+    r = jax.random.PRNGKey(21)
+    r_sh, r_e, ra, rb = jax.random.split(r, 4)
+    shared = mk.make_shared_key(r_sh, pmk)
+    sks, parts = [], []
+    for rr in (ra, rb):
+        r_sk, r_part = jax.random.split(rr)
+        s = tt.make_secret_key(r_sk, pmk)
+        sks.append(s)
+        parts.append(mk.make_cloud_key_part(r_part, s, shared))
+    t0 = time.time()
+    mck = mk.make_mk_cloud_key(parts)
+    jax.block_until_ready(mck.bootstrap_key.limbs)
+    log(f"mk expansion ({metric}): {time.time() - t0:.1f}s")
+    Bm = 4 if small else 4096
+    m1 = jnp.arange(Bm) % 2 == 0
+    e1 = mk.mk_encrypt(jax.random.PRNGKey(22), sks, m1)
+    e2 = mk.mk_encrypt(jax.random.PRNGKey(23), sks, ~m1)
+    mknand = jax.jit(mk.mk_gate_nand)
+    out = mknand(mck, e1, e2); jax.block_until_ready(out)
+    t0 = time.time()
+    out = mknand(mck, out, e2)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    dec = np.asarray(mk.mk_decrypt(sks, out))
+    want = ~(np.asarray(~(m1 & ~m1)) & np.asarray(~m1))
+    rec = {"batch": Bm, "errors": int((dec != want).sum())}
+    if extra:
+        rec.update(extra)
+    emit(metric, Bm / dt, "gates/s", rec)
+
+
+def sec_mk2():
+    """2-party MK NAND. The HEADLINE row runs the zero-error lownoise
+    preset (the documented default: the reference's own 2-party preset
+    carries an intrinsic ~1.5%/gate failure, docs/mk_noise_budget.md)."""
+    import tfhe_tpu.mk as mk
+
+    _mk2_run(mk.mktfhe_parameters_toy(2) if _small()
+             else mk.mktfhe_parameters_2party_lownoise(),
+             "mk2_nand_throughput", {"preset": "2party_lownoise"})
+
+
+def sec_mk2_ref():
+    """2-party MK NAND on the reference-fidelity preset, labeled with its
+    intrinsic failure rate."""
+    import tfhe_tpu.mk as mk
+
+    _mk2_run(mk.mktfhe_parameters_toy(2) if _small()
+             else mk.mktfhe_parameters_2party(),
+             "mk2_nand_throughput_reference_preset",
+             {"preset": "2party (reference fidelity; intrinsic ~1.5%/gate "
+                        "failure, docs/mk_noise_budget.md)"})
+
+
+def sec_mk4():
+    """4-party MK NAND (party keys shardable across hosts)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tfhe_tpu as tt
+    import tfhe_tpu.mk as mk
+
+    small = _small()
     pmk4 = mk.mktfhe_parameters_toy(4) if small else mk.mktfhe_parameters_4party()
     r = jax.random.PRNGKey(31)
     r_sh, *party_rngs = jax.random.split(r, 5)
@@ -359,46 +482,92 @@ def main():
     emit("mk4_nand_throughput", B4 / dt, "gates/s",
          {"batch": B4, "errors": int((dec4 != want4).sum())})
 
-    # --- 5c: 8-party MK NAND (reference preset src/mk_api.jl:24-34) ---
-    # The sparse-stored expanded key (~6.6 GB, nonzero blocks only) is the
-    # only form that fits a 16 GB chip; wrapped so an OOM is recorded as a
-    # documented artifact line rather than sinking the whole suite.
-    del mck4, parts4, sks4, f1, f2, out4
-    try:
-        pmk8 = (mk.mktfhe_parameters_toy(8) if small
-                else mk.mktfhe_parameters_8party())
-        r = jax.random.PRNGKey(51)
-        r_sh, *party_rngs8 = jax.random.split(r, 9)
-        shared8 = mk.make_shared_key(r_sh, pmk8)
-        sks8, parts8 = [], []
-        for rr in party_rngs8:
-            r_sk, r_part = jax.random.split(rr)
-            s = tt.make_secret_key(r_sk, pmk8)
-            sks8.append(s)
-            parts8.append(mk.make_cloud_key_part(r_part, s, shared8))
+
+def sec_mk8():
+    """8-party MK NAND (reference preset src/mk_api.jl:24-34). The
+    sparse-stored expanded key (~6.6 GB, nonzero blocks only) is the only
+    form that fits a 16 GB chip."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import tfhe_tpu as tt
+    import tfhe_tpu.mk as mk
+
+    small = _small()
+    pmk8 = (mk.mktfhe_parameters_toy(8) if small
+            else mk.mktfhe_parameters_8party())
+    r = jax.random.PRNGKey(51)
+    r_sh, *party_rngs8 = jax.random.split(r, 9)
+    shared8 = mk.make_shared_key(r_sh, pmk8)
+    sks8, parts8 = [], []
+    for rr in party_rngs8:
+        r_sk, r_part = jax.random.split(rr)
+        s = tt.make_secret_key(r_sk, pmk8)
+        sks8.append(s)
+        parts8.append(mk.make_cloud_key_part(r_part, s, shared8))
+    t0 = time.time()
+    mck8 = mk.make_mk_cloud_key(parts8)
+    jax.block_until_ready(mck8.bootstrap_key.limbs)
+    log(f"mk8 expansion: {time.time() - t0:.1f}s "
+        f"(sparse={mck8.bootstrap_key.sparse})")
+    del parts8
+    B8 = 4 if small else 1024
+    m8 = jnp.arange(B8) % 2 == 0
+    g1 = mk.mk_encrypt(jax.random.PRNGKey(52), sks8, m8)
+    g2 = mk.mk_encrypt(jax.random.PRNGKey(53), sks8, ~m8)
+    mknand8 = jax.jit(mk.mk_gate_nand)
+    out8 = mknand8(mck8, g1, g2); jax.block_until_ready(out8)
+    t0 = time.time()
+    out8 = mknand8(mck8, out8, g2)
+    jax.block_until_ready(out8)
+    dt = time.time() - t0
+    dec8 = np.asarray(mk.mk_decrypt(sks8, out8))
+    want8 = ~(np.asarray(~(m8 & ~m8)) & np.asarray(~m8))
+    emit("mk8_nand_throughput", B8 / dt, "gates/s",
+         {"batch": B8, "errors": int((dec8 != want8).sum())})
+
+
+SECTIONS = {
+    "80bit": sec_80bit,
+    "128core": sec_128core,
+    "fast": sec_fast,
+    "fast8": sec_fast8,
+    "radix_preset": sec_radix_preset,
+    "radix_reliable": sec_radix_reliable,
+    "mk2": sec_mk2,
+    "mk2_ref": sec_mk2_ref,
+    "mk4": sec_mk4,
+    "mk8": sec_mk8,
+}
+
+
+def main():
+    names = os.environ.get("TFHE_SUITE_SECTIONS")
+    if names:
+        # in-process mode (what each subprocess runs)
+        from tfhe_tpu.utils.sync import prime_sync
+
+        prime_sync()  # tunneled-TPU: honest AND fast dispatch (utils/sync.py)
+        for name in names.split(","):
+            SECTIONS[name.strip()]()
+        return
+    # orchestrator mode: one subprocess per section = one fresh TPU client,
+    # full HBM for every section, failures isolated to artifact lines
+    for name in SECTIONS:
         t0 = time.time()
-        mck8 = mk.make_mk_cloud_key(parts8)
-        jax.block_until_ready(mck8.bootstrap_key.limbs)
-        log(f"mk8 expansion: {time.time() - t0:.1f}s "
-            f"(sparse={mck8.bootstrap_key.sparse})")
-        del parts8
-        B8 = 4 if small else 1024
-        m8 = jnp.arange(B8) % 2 == 0
-        g1 = mk.mk_encrypt(jax.random.PRNGKey(52), sks8, m8)
-        g2 = mk.mk_encrypt(jax.random.PRNGKey(53), sks8, ~m8)
-        mknand8 = jax.jit(mk.mk_gate_nand)
-        out8 = mknand8(mck8, g1, g2); jax.block_until_ready(out8)
-        t0 = time.time()
-        out8 = mknand8(mck8, out8, g2)
-        jax.block_until_ready(out8)
-        dt = time.time() - t0
-        dec8 = np.asarray(mk.mk_decrypt(sks8, out8))
-        want8 = ~(np.asarray(~(m8 & ~m8)) & np.asarray(~m8))
-        emit("mk8_nand_throughput", B8 / dt, "gates/s",
-             {"batch": B8, "errors": int((dec8 != want8).sum())})
-    except Exception as e:  # document the failure mode in the artifact
-        emit("mk8_nand_throughput", -1, "gates/s",
-             {"error": f"{type(e).__name__}: {e}"[:300]})
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "TFHE_SUITE_SECTIONS": name},
+            stdout=subprocess.PIPE, text=True,
+        )
+        sys.stdout.write(r.stdout)
+        sys.stdout.flush()
+        log(f"[suite] section {name}: exit={r.returncode} "
+            f"({time.time() - t0:.0f}s)")
+        if r.returncode != 0:
+            emit(f"section_{name}", -1, "failed",
+                 {"exit_code": r.returncode})
 
 
 if __name__ == "__main__":

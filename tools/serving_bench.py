@@ -39,6 +39,7 @@ def main():
         small = True
     names = os.environ.get("TFHE_TPU_SERVE_PRESETS", "128fast,80").split(",")
     presets = {"128fast": tt.tfhe_parameters_128_fast,
+               "128fast8": tt.tfhe_parameters_128_fast8,
                "80": tt.tfhe_parameters_80,
                "128": tt.tfhe_parameters_128,
                "toy": tt.tfhe_parameters_toy}
@@ -47,7 +48,12 @@ def main():
 
     for name in names:
         params = presets["toy" if small else name]()
-        for form, budget in (("baked", -1), ("compact", 0)):
+        # fast8 is compact-by-design: the M=1 baked form is ~13 GB
+        # (params.py docstring) and cannot coexist with bake temporaries
+        # on a 16 GB chip
+        forms = ((("compact", 0),) if name == "128fast8"
+                 else (("baked", -1), ("compact", 0)))
+        for form, budget in forms:
             with tuning.override(bs_bake_budget=budget):
                 # fresh closure: jax's jit cache is keyed by function
                 # identity + avals, NOT by TuningConfig — reusing the same
