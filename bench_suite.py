@@ -54,6 +54,17 @@ def _small():
     return small
 
 
+def device_barrier(tree):
+    """Honest completion barrier for every timed region (utils/sync.py):
+    bare block_until_ready is a no-op when the tunneled runtime is (or
+    falls back to) deferred dispatch — the round-5 mk8 run produced a
+    nonsense 3.1M gates/s line that way after a mid-compile tunnel
+    reconnect reset the dispatch mode."""
+    from tfhe_tpu.utils.sync import device_barrier as db
+
+    db(tree)
+
+
 def sec_80bit():
     """Single NAND latency (plain / device-chained / compact key) + the
     10-gate set, 80-bit (tutorial) params."""
@@ -75,12 +86,12 @@ def sec_80bit():
     one_y = tt.encrypt(jax.random.PRNGKey(2), sk, jnp.asarray([False]))
     nand1 = jax.jit(gates.gate_nand)
     out = nand1(ck, one_x, one_y)
-    jax.block_until_ready(out)
+    device_barrier(out)
     t0 = time.time()
     reps = 5
     for _ in range(reps):
         out = nand1(ck, out, one_y)
-    jax.block_until_ready(out)
+    device_barrier(out)
     emit("single_nand_latency_80bit", (time.time() - t0) / reps * 1e3, "ms")
 
     # Device-resident chained latency: N dependent NANDs inside ONE jitted
@@ -97,10 +108,10 @@ def sec_80bit():
         return jax.lax.scan(body, x, None, length=chain_n)[0]
 
     out = chain(ck, one_x, one_y)
-    jax.block_until_ready(out)
+    device_barrier(out)
     t0 = time.time()
     out = chain(ck, out, one_y)
-    jax.block_until_ready(out)
+    device_barrier(out)
     emit("chained_nand_device_latency_80bit",
          (time.time() - t0) / chain_n * 1e3, "ms", {"chain": chain_n})
 
@@ -119,11 +130,11 @@ def sec_80bit():
     jax.block_until_ready(ckc.bootstrap_key.baked)
     assert ckc.bootstrap_key.compact
     outc = nand1(ckc, one_x, one_y)
-    jax.block_until_ready(outc)
+    device_barrier(outc)
     t0 = time.time()
     for _ in range(reps):
         outc = nand1(ckc, outc, one_y)
-    jax.block_until_ready(outc)
+    device_barrier(outc)
     emit("single_nand_latency_compact_key", (time.time() - t0) / reps * 1e3,
          "ms", {"key_mb": round(ckc.bootstrap_key.baked.size / 2**20, 1)})
     del skc, ckc, outc
@@ -167,12 +178,12 @@ def sec_128core():
     bx = tt.encrypt(jax.random.PRNGKey(8), sk2, jnp.arange(B) % 2 == 0)
     by = tt.encrypt(jax.random.PRNGKey(9), sk2, jnp.arange(B) % 3 == 0)
     nand = jax.jit(gates.gate_nand)
-    out = nand(ck2, bx, by); jax.block_until_ready(out)
+    out = nand(ck2, bx, by); device_barrier(out)
     iters = 2 if small else 4
     t0 = time.time()
     for _ in range(iters):
         out = nand(ck2, out, by)
-    jax.block_until_ready(out)
+    device_barrier(out)
     emit("batched_nand_throughput_128bit", B * iters / (time.time() - t0),
          "gates/s", {"batch": B})
     del bx, by, out
@@ -186,10 +197,10 @@ def sec_128core():
     px = pbs_mod.encrypt_pbs(jax.random.PRNGKey(12), sk2, msgs, S)
     pb = jax.jit(pbs_mod.programmable_bootstrap, static_argnums=4)
     out_p = pb(ck2.bootstrap_key, ck2.keyswitch_key, lut, px, S)
-    jax.block_until_ready(out_p)
+    device_barrier(out_p)
     t0 = time.time()
     out_p = pb(ck2.bootstrap_key, ck2.keyswitch_key, lut, out_p, S)
-    jax.block_until_ready(out_p)
+    device_barrier(out_p)
     dt = time.time() - t0
     lut_np = np.asarray(lut)
     got = np.asarray(pbs_mod.decrypt_pbs(sk2, out_p, S))
@@ -205,10 +216,10 @@ def sec_128core():
     ca = circuits.encrypt_word(jax.random.PRNGKey(10), sk2, av, 8)
     cb = circuits.encrypt_word(jax.random.PRNGKey(11), sk2, bv, 8)
     add = jax.jit(circuits.ripple_carry_add)
-    out = add(ck2, ca, cb); jax.block_until_ready(out)
+    out = add(ck2, ca, cb); device_barrier(out)
     t0 = time.time()
     out = add(ck2, out, cb)
-    jax.block_until_ready(out)
+    device_barrier(out)
     dt = time.time() - t0
     got = np.asarray(circuits.decrypt_word(sk2, out))
     want = np.asarray((av + 2 * bv) % 256)
@@ -227,10 +238,10 @@ def sec_128core():
     ra_ = radix.encrypt_radix(jax.random.PRNGKey(13), sk2, rav, 8)
     rb_ = radix.encrypt_radix(jax.random.PRNGKey(14), sk2, rbv, 8)
     radd = jax.jit(radix.radix_add)
-    out_r = radd(ck2, ra_, rb_); jax.block_until_ready(out_r)
+    out_r = radd(ck2, ra_, rb_); device_barrier(out_r)
     t0 = time.time()
     out_r = radd(ck2, out_r, rb_)
-    jax.block_until_ready(out_r)
+    device_barrier(out_r)
     dt = time.time() - t0
     got = np.asarray(radix.decrypt_radix(sk2, out_r))
     want = np.asarray((rav + 2 * rbv) % 256)
@@ -269,11 +280,11 @@ def _batched_nand(params_fn, metric, keygen_budget=None, extra=None):
     fx = tt.encrypt(jax.random.PRNGKey(18), sk, jnp.asarray(xb))
     fy = tt.encrypt(jax.random.PRNGKey(19), sk, jnp.asarray(yb))
     nandf = jax.jit(gates.gate_nand)
-    outf = nandf(ck, fx, fy); jax.block_until_ready(outf)
+    outf = nandf(ck, fx, fy); device_barrier(outf)
     t0 = time.time()
     for _ in range(iters):
         outf = nandf(ck, outf, fy)
-    jax.block_until_ready(outf)
+    device_barrier(outf)
     dt = time.time() - t0
     want = ~(xb & yb)  # the warmup call; then `iters` timed layers
     for _ in range(iters):
@@ -329,10 +340,10 @@ def sec_radix_preset():
     ra2 = radix.encrypt_radix(jax.random.PRNGKey(42), skr, rav, 8)
     rb2 = radix.encrypt_radix(jax.random.PRNGKey(43), skr, rbv, 8)
     radd = jax.jit(radix.radix_add)
-    out_r = radd(ckr, ra2, rb2); jax.block_until_ready(out_r)
+    out_r = radd(ckr, ra2, rb2); device_barrier(out_r)
     t0 = time.time()
     out_r = radd(ckr, out_r, rb2)
-    jax.block_until_ready(out_r)
+    device_barrier(out_r)
     dt = time.time() - t0
     got = np.asarray(radix.decrypt_radix(skr, out_r))
     want = np.asarray((rav + 2 * rbv) % 256)
@@ -358,7 +369,10 @@ def sec_radix_reliable():
     Wr = 8 if small else 4096
     rav = jnp.arange(Wr, dtype=jnp.uint32) % 251
     rbv = (jnp.arange(Wr, dtype=jnp.uint32) * 7) % 253
-    with tuning.override(radix_manylut=False):
+    # COMPACT key: the l=4 gadget bakes to ~11.9 GB, which OOMs a 16 GB
+    # chip once bake temporaries are counted (measured round 5, fresh
+    # process) — this preset is compact-serving-only on v5e, like fast8
+    with tuning.override(radix_manylut=False, bs_bake_budget=0):
         # fresh closures: the jit cache keys on fn identity + avals, not
         # TuningConfig (tuning.py CAVEAT)
         skl, ckl = jax.jit(lambda r: tt.make_key_pair(r, prel))(
@@ -367,17 +381,17 @@ def sec_radix_reliable():
         ra3 = radix.encrypt_radix(jax.random.PRNGKey(46), skl, rav, 8)
         rb3 = radix.encrypt_radix(jax.random.PRNGKey(47), skl, rbv, 8)
         radd_rel = jax.jit(lambda c, a, b: radix.radix_add(c, a, b))
-        out_r = radd_rel(ckl, ra3, rb3); jax.block_until_ready(out_r)
+        out_r = radd_rel(ckl, ra3, rb3); device_barrier(out_r)
         t0 = time.time()
         out_r = radd_rel(ckl, out_r, rb3)
-        jax.block_until_ready(out_r)
+        device_barrier(out_r)
         dt = time.time() - t0
         got = np.asarray(radix.decrypt_radix(skl, out_r))
     want = np.asarray((rav + 2 * rbv) % 256)
     emit("radix_adder8_words_per_sec_reliable", Wr / dt, "adds/s",
          {"correct": int((got == want).sum()), "of": Wr,
           "params": "128radix_reliable", "manylut": False,
-          "model_failure_per_word": 1.6e-10})
+          "key_form": "compact", "model_failure_per_word": 1.6e-10})
 
 
 def _mk2_run(pmk, metric, extra=None):
@@ -407,10 +421,10 @@ def _mk2_run(pmk, metric, extra=None):
     e1 = mk.mk_encrypt(jax.random.PRNGKey(22), sks, m1)
     e2 = mk.mk_encrypt(jax.random.PRNGKey(23), sks, ~m1)
     mknand = jax.jit(mk.mk_gate_nand)
-    out = mknand(mck, e1, e2); jax.block_until_ready(out)
+    out = mknand(mck, e1, e2); device_barrier(out)
     t0 = time.time()
     out = mknand(mck, out, e2)
-    jax.block_until_ready(out)
+    device_barrier(out)
     dt = time.time() - t0
     dec = np.asarray(mk.mk_decrypt(sks, out))
     want = ~(np.asarray(~(m1 & ~m1)) & np.asarray(~m1))
@@ -472,10 +486,10 @@ def sec_mk4():
     f1 = mk.mk_encrypt(jax.random.PRNGKey(32), sks4, m4)
     f2 = mk.mk_encrypt(jax.random.PRNGKey(33), sks4, ~m4)
     mknand4 = jax.jit(mk.mk_gate_nand)
-    out4 = mknand4(mck4, f1, f2); jax.block_until_ready(out4)
+    out4 = mknand4(mck4, f1, f2); device_barrier(out4)
     t0 = time.time()
     out4 = mknand4(mck4, out4, f2)
-    jax.block_until_ready(out4)
+    device_barrier(out4)
     dt = time.time() - t0
     dec4 = np.asarray(mk.mk_decrypt(sks4, out4))
     want4 = ~(np.asarray(~(m4 & ~m4)) & np.asarray(~m4))
@@ -517,10 +531,10 @@ def sec_mk8():
     g1 = mk.mk_encrypt(jax.random.PRNGKey(52), sks8, m8)
     g2 = mk.mk_encrypt(jax.random.PRNGKey(53), sks8, ~m8)
     mknand8 = jax.jit(mk.mk_gate_nand)
-    out8 = mknand8(mck8, g1, g2); jax.block_until_ready(out8)
+    out8 = mknand8(mck8, g1, g2); device_barrier(out8)
     t0 = time.time()
     out8 = mknand8(mck8, out8, g2)
-    jax.block_until_ready(out8)
+    device_barrier(out8)
     dt = time.time() - t0
     dec8 = np.asarray(mk.mk_decrypt(sks8, out8))
     want8 = ~(np.asarray(~(m8 & ~m8)) & np.asarray(~m8))

@@ -5,9 +5,21 @@ differentially tested against the prepared XLA path (tests/test_mk.py), so
 bit-exactness vs the NumPy MK oracle follows by composition.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _clear_xla_cpu_state():
+    """Every test in this file compiles a LARGE interpret-mode module
+    (in-kernel expansion unrolled per plan row x nonzero block); XLA:CPU
+    aborts/segfaults after a few such compiles accumulate in one process
+    (round 5; same failure class as the suite-wide every-8-tests clearing,
+    tools/xla_cpu_crash_probe.sh). Clear before every test, not every 8."""
+    jax.clear_caches()
+    yield
 
 from tfhe_tpu.mk.internals import mk_nonzero_blocks
 from tfhe_tpu.ops.karatsuba import expand_karatsuba_sparse, karatsuba_plan
@@ -77,8 +89,16 @@ def _nz_select(limbs, l, nz):
 def test_mk_compact_matches_per_step(rng, parties, party, l, b, groups):
     """Compact megakernel (in-kernel sparse expansion) == scanned per-step
     sparse kernel over pre-expanded operands, bitwise — incl. the multi-
-    group split (groups=2 shrinks group_budget to force two launches)."""
-    n, t, depth, steps, batch = 256, 32, 2, 3, 8
+    group split (groups=2 shrinks group_budget to force two launches).
+
+    Geometry is deliberately small (n=128, depth=1): the in-kernel
+    expansion unrolls per plan row x nonzero block, and at n=256/depth=2
+    the interpret-mode module took XLA:CPU ~3.5 min to compile at one
+    device and SEGFAULTED the compiler under the suite's 8 virtual
+    devices (round 5; tools/xla_cpu_crash_probe.sh documents the
+    compiler's fragility). The sparsity/remap logic under test is
+    geometry-independent."""
+    n, t, depth, steps, batch = 128, 32, 1, 3, 8
     k1 = parties + 1
     plan = karatsuba_plan(n // t, depth, b)
     nz = mk_nonzero_blocks(party, parties)
@@ -107,7 +127,9 @@ def test_mk_compact_matches_per_step(rng, parties, party, l, b, groups):
 
 @pytest.mark.slow
 def test_mk_compact_matches_per_step_8party(rng):
-    n, t, depth, steps, batch = 256, 32, 2, 2, 8
+    # n=128/depth=1 for the same XLA:CPU compile-size reason as above —
+    # at l=8, k1=9 the in-kernel expansion unrolls 25 nonzero blocks
+    n, t, depth, steps, batch = 128, 32, 1, 2, 8
     parties, party, l, b = 8, 5, 8, 4
     k1 = parties + 1
     plan = karatsuba_plan(n // t, depth, b)

@@ -73,6 +73,44 @@ def test_sharded_nand_jit(toy_keys):
     np.testing.assert_array_equal(np.asarray(out), np.ones(B, bool))
 
 
+def test_sharded_nand_compact_key_bit_identical(toy_keys):
+    """The serving combination: COMPACT (prepared-limb, docs/serving.md)
+    key replicated over the mesh, batch DP blind rotate + TP keyswitch —
+    bit-identical to the single-device compact path. This is the
+    multi-tenant multi-chip mode: the ~T x smaller compact key is what
+    makes per-device key replication cheap (142 MB vs 6 GB at 128_fast)."""
+    from tfhe_tpu import tuning
+
+    params, sk, _ = toy_keys
+    with tuning.override(bs_bake_budget=0):
+        # fresh closure: jit cache keys on fn identity + avals, not
+        # TuningConfig (tuning.py CAVEAT)
+        _, ck = jax.jit(lambda r: tt.make_key_pair(r, params))(
+            jax.random.PRNGKey(123))
+    assert ck.bootstrap_key.compact
+
+    B = 16
+    bits_x = jnp.arange(B) % 2 == 0
+    bits_y = jnp.arange(B) % 3 == 0
+    ct_x = tt.encrypt(jax.random.PRNGKey(1), sk, bits_x)
+    ct_y = tt.encrypt(jax.random.PRNGKey(2), sk, bits_y)
+    want = gates.gate_nand(ck, ct_x, ct_y)
+
+    mesh = parallel.make_mesh(4, 2)
+    nand = parallel.make_gate_nand_sharded(mesh, params)
+    got = nand(
+        parallel.shard_cloud_key(ck, mesh),
+        parallel.shard_batch(ct_x, mesh),
+        parallel.shard_batch(ct_y, mesh),
+    )
+    np.testing.assert_array_equal(np.asarray(got.a), np.asarray(want.a))
+    np.testing.assert_array_equal(np.asarray(got.b), np.asarray(want.b))
+    np.testing.assert_array_equal(
+        np.asarray(tt.decrypt(sk, got)),
+        ~(np.asarray(bits_x) & np.asarray(bits_y)),
+    )
+
+
 def test_mk_sharded_keys_bit_identical():
     """MK gate with party keys sharded over `model` == unsharded, bit-exact."""
     import tfhe_tpu.mk as mk

@@ -281,6 +281,11 @@ def tfhe_parameters_128_radix_reliable() -> SchemeParameters:
     the model failure is 1.6e-10/8-bit word (6.7 sigma/decision) at ~0.37x
     the 128-preset words/s (4/3 rotation MACs x 2 rotations/digit).
     With manylut left on, this preset still gives 7.4e-6/word at 0.75x.
+
+    On a 16 GB chip this preset is COMPACT-serving-only: the l=4 gadget
+    bakes to ~11.9 GB, which OOMs once bake temporaries are counted
+    (measured round 5, fresh process) — keygen under
+    `tuning.override(bs_bake_budget=0)` like `tfhe_parameters_128_fast8`.
     """
     return SchemeParameters(
         lwe_size=630,
