@@ -1250,7 +1250,7 @@ def _mk_compact_megakernel(limbs_ref, bara_ref, acc_hbm, out_hbm, acc_all,
 )
 def mk_blind_rotate_pallas_compact(acc, limbs, bara_t, *, n, k1, l, b, t,
                                    plan, nz, offset, interpret=False,
-                                   group_budget=28 << 20):
+                                   group_budget=None):
     """A party's full n-step multi-key blind rotation from the COMPACT key
     as grid-over-steps megakernel launches with in-kernel sparse expansion.
 
@@ -1284,6 +1284,8 @@ def mk_blind_rotate_pallas_compact(acc, limbs, bara_t, *, n, k1, l, b, t,
             units_exp.append((zi, gentries))
     units_exp = tuple(units_exp)
 
+    if group_budget is None:
+        group_budget = get_tuning().mk_group_mb << 20
     row_bytes = (k1 * n * 4 + m * pt * (4 if dig_i32 else 1) + n * 4
                  + max(comb_rows, 1) * pt)
     group = _pick_tile(b_sz, max(1, min(b_sz, group_budget // row_bytes)))
@@ -1862,7 +1864,7 @@ def _compact_megakernel(limbs_ref, bara_ref, acc_hbm, out_hbm, acc_all,
 )
 def blind_rotate_pallas_compact(acc, limbs, bara_t, *, n, k1, l, b, t, plan,
                                 offset, interpret=False, btc=None,
-                                group_budget=36 << 20):
+                                group_budget=None):
     """Whole blind rotation from the COMPACT (prepared-limb) key as grid-
     over-steps megakernel launches with in-kernel expansion.
 
@@ -1889,6 +1891,8 @@ def blind_rotate_pallas_compact(acc, limbs, bara_t, *, n, k1, l, b, t, plan,
             row += 1
     entry_rows = tuple(entry_rows)
 
+    if group_budget is None:
+        group_budget = get_tuning().bs_group_mb << 20
     row_bytes = k1 * n * 4
     group = _pick_tile(b_sz, max(1, min(b_sz, group_budget // row_bytes)))
     bt = _pick_tile(group, btc or get_tuning().btc)

@@ -59,6 +59,9 @@ class TuningConfig:
     bt_step: int = 256          # single-step fused kernel batch tile
     btp: int = 256              # pipelined megakernel subtile (rows)
     btc: int = 256              # compact megakernel per-cell batch tile
+    bs_group_mb: int = 36       # compact megakernel resident-acc VMEM budget
+                                # (MB); rows per group = budget / (k1*N*4).
+                                # The in-kernel expansion re-runs per group
     bta: int = 256              # two-kernel path: rotate tile
     btb: int = 256              # two-kernel path: matmul tile
     eslots: int = 3             # serial megakernel E-fetch ring slots
@@ -76,6 +79,17 @@ class TuningConfig:
     mk_compact: str = "auto"    # MK compact megakernel (in-kernel sparse
                                 # expansion, zero HBM expanded operand):
                                 # auto|0|1; auto = on for compiled TPU runs
+    mk_group_mb: int = 56       # MK compact megakernel resident-group VMEM
+                                # budget (MB): rows per group = budget /
+                                # (acc+digit+comb row bytes); the per-step
+                                # in-kernel expansion re-runs once per group,
+                                # so bigger groups amortize it over more
+                                # batch cells (~100 MB Mosaic scoped limit
+                                # minus the step operand caps it). Measured
+                                # r5 vs 28 MB: mk2-lownoise 2,096 -> 2,281
+                                # (+8.8%), mk4 681 -> 755 (+10.8%), at the
+                                # cost of a longer Mosaic compile (mk4:
+                                # ~28 min first call)
     mk_progressive: bool = True  # triangular MK rotation: skip the blocks of
                                  # parties not yet processed (their acc
                                  # components are structurally zero) —
@@ -108,6 +122,7 @@ _ENV = {
     "bt_step": "TFHE_TPU_BT_STEP",
     "btp": "TFHE_TPU_BTP",
     "btc": "TFHE_TPU_BTC",
+    "bs_group_mb": "TFHE_TPU_BS_GROUP_MB",
     "bta": "TFHE_TPU_BTA",
     "btb": "TFHE_TPU_BTB",
     "eslots": "TFHE_TPU_ESLOTS",
@@ -119,6 +134,7 @@ _ENV = {
     "mk_chunk": "TFHE_TPU_MK_CHUNK",
     "mk_mega": "TFHE_TPU_MK_MEGA",
     "mk_compact": "TFHE_TPU_MK_COMPACT",
+    "mk_group_mb": "TFHE_TPU_MK_GROUP_MB",
     "mk_progressive": "TFHE_TPU_MK_PROGRESSIVE",
     "radix_manylut": "TFHE_TPU_RADIX_MANYLUT",
     "pipe_ablate": "TFHE_TPU_PIPE_ABLATE",
