@@ -158,9 +158,11 @@ def main():
 
     # vs_baseline is the ratio against the BASELINE.json north star (1e4
     # bit-exact gates/s/chip at the 128-bit security level). Only presets
-    # pinned at that level get a ratio — "128" itself and "128fast", rated
-    # bit-for-bit identical by tools/security_estimate.py — anything else
-    # (80/toy) emits null rather than an apples-to-oranges number.
+    # pinned at that level get a ratio — "128" itself plus the re-splits
+    # "128fast"/"128fast8", all rated bit-for-bit identical by
+    # tools/security_estimate.py (tests/test_security_estimate.py) —
+    # anything else (80/toy) emits null rather than an apples-to-oranges
+    # number.
     at_128_level = which in ("128", "128fast", "128fast8")
     print(json.dumps({
         "metric": "nand_bootstraps_per_sec_128bit",

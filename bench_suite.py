@@ -37,20 +37,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_SMALL_MODE = False
+
+
 def emit(metric, value, unit, extra=None):
     rec = {"metric": metric, "value": round(value, 2), "unit": unit}
     if extra:
         rec.update(extra)
+    if _SMALL_MODE:
+        # smoke runs use toy parameters: keep the preset/tier labels the
+        # sections attach from masquerading as production measurements
+        rec["small_toy_params"] = True
     print(json.dumps(rec), flush=True)
 
 
 def _small():
+    global _SMALL_MODE
     import jax
 
     small = bool(int(os.environ.get("TFHE_SUITE_SMALL", "0")))
     if jax.default_backend() != "tpu" and not small:
         log("not on TPU; forcing TFHE_SUITE_SMALL=1")
         small = True
+    _SMALL_MODE = small
     return small
 
 
@@ -394,7 +403,12 @@ def sec_radix_reliable():
           "key_form": "compact", "model_failure_per_word": 1.6e-10})
 
 
-def _mk2_run(pmk, metric, extra=None):
+def _mk_run(parties, pmk, metric, seed, batch, extra=None):
+    """Shared MK ceremony + timing protocol: shared-key setup, per-party
+    keygen/cloud-key parts, expansion, one warmup NAND, one timed chained
+    NAND layer ending in a device_barrier, decrypt-COUNTED errors. One
+    copy so timing-protocol fixes (like the r5 device_barrier lesson)
+    cannot drift between party counts."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -403,11 +417,11 @@ def _mk2_run(pmk, metric, extra=None):
     import tfhe_tpu.mk as mk
 
     small = _small()
-    r = jax.random.PRNGKey(21)
-    r_sh, r_e, ra, rb = jax.random.split(r, 4)
+    r = jax.random.PRNGKey(seed)
+    r_sh, *party_rngs = jax.random.split(r, parties + 1)
     shared = mk.make_shared_key(r_sh, pmk)
     sks, parts = [], []
-    for rr in (ra, rb):
+    for rr in party_rngs:
         r_sk, r_part = jax.random.split(rr)
         s = tt.make_secret_key(r_sk, pmk)
         sks.append(s)
@@ -415,11 +429,13 @@ def _mk2_run(pmk, metric, extra=None):
     t0 = time.time()
     mck = mk.make_mk_cloud_key(parts)
     jax.block_until_ready(mck.bootstrap_key.limbs)
-    log(f"mk expansion ({metric}): {time.time() - t0:.1f}s")
-    Bm = 4 if small else 4096
+    log(f"mk expansion ({metric}): {time.time() - t0:.1f}s "
+        f"(sparse={mck.bootstrap_key.sparse})")
+    del parts  # the 8-party expanded key + parts do not co-fit 16 GB
+    Bm = 4 if small else batch
     m1 = jnp.arange(Bm) % 2 == 0
-    e1 = mk.mk_encrypt(jax.random.PRNGKey(22), sks, m1)
-    e2 = mk.mk_encrypt(jax.random.PRNGKey(23), sks, ~m1)
+    e1 = mk.mk_encrypt(jax.random.PRNGKey(seed + 1), sks, m1)
+    e2 = mk.mk_encrypt(jax.random.PRNGKey(seed + 2), sks, ~m1)
     mknand = jax.jit(mk.mk_gate_nand)
     out = mknand(mck, e1, e2); device_barrier(out)
     t0 = time.time()
@@ -440,9 +456,10 @@ def sec_mk2():
     carries an intrinsic ~1.5%/gate failure, docs/mk_noise_budget.md)."""
     import tfhe_tpu.mk as mk
 
-    _mk2_run(mk.mktfhe_parameters_toy(2) if _small()
-             else mk.mktfhe_parameters_2party_lownoise(),
-             "mk2_nand_throughput", {"preset": "2party_lownoise"})
+    _mk_run(2, mk.mktfhe_parameters_toy(2) if _small()
+            else mk.mktfhe_parameters_2party_lownoise(),
+            "mk2_nand_throughput", seed=21, batch=4096,
+            extra={"preset": "2party_lownoise"})
 
 
 def sec_mk2_ref():
@@ -450,96 +467,31 @@ def sec_mk2_ref():
     intrinsic failure rate."""
     import tfhe_tpu.mk as mk
 
-    _mk2_run(mk.mktfhe_parameters_toy(2) if _small()
-             else mk.mktfhe_parameters_2party(),
-             "mk2_nand_throughput_reference_preset",
-             {"preset": "2party (reference fidelity; intrinsic ~1.5%/gate "
-                        "failure, docs/mk_noise_budget.md)"})
+    _mk_run(2, mk.mktfhe_parameters_toy(2) if _small()
+            else mk.mktfhe_parameters_2party(),
+            "mk2_nand_throughput_reference_preset", seed=26, batch=4096,
+            extra={"preset": "2party (reference fidelity; intrinsic "
+                             "~1.5%/gate failure, docs/mk_noise_budget.md)"})
 
 
 def sec_mk4():
     """4-party MK NAND (party keys shardable across hosts)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    import tfhe_tpu as tt
     import tfhe_tpu.mk as mk
 
-    small = _small()
-    pmk4 = mk.mktfhe_parameters_toy(4) if small else mk.mktfhe_parameters_4party()
-    r = jax.random.PRNGKey(31)
-    r_sh, *party_rngs = jax.random.split(r, 5)
-    shared4 = mk.make_shared_key(r_sh, pmk4)
-    sks4, parts4 = [], []
-    for rr in party_rngs:
-        r_sk, r_part = jax.random.split(rr)
-        s = tt.make_secret_key(r_sk, pmk4)
-        sks4.append(s)
-        parts4.append(mk.make_cloud_key_part(r_part, s, shared4))
-    t0 = time.time()
-    mck4 = mk.make_mk_cloud_key(parts4)
-    jax.block_until_ready(mck4.bootstrap_key.limbs)
-    log(f"mk4 expansion: {time.time() - t0:.1f}s")
-    B4 = 4 if small else 4096
-    m4 = jnp.arange(B4) % 2 == 0
-    f1 = mk.mk_encrypt(jax.random.PRNGKey(32), sks4, m4)
-    f2 = mk.mk_encrypt(jax.random.PRNGKey(33), sks4, ~m4)
-    mknand4 = jax.jit(mk.mk_gate_nand)
-    out4 = mknand4(mck4, f1, f2); device_barrier(out4)
-    t0 = time.time()
-    out4 = mknand4(mck4, out4, f2)
-    device_barrier(out4)
-    dt = time.time() - t0
-    dec4 = np.asarray(mk.mk_decrypt(sks4, out4))
-    want4 = ~(np.asarray(~(m4 & ~m4)) & np.asarray(~m4))
-    emit("mk4_nand_throughput", B4 / dt, "gates/s",
-         {"batch": B4, "errors": int((dec4 != want4).sum())})
+    _mk_run(4, mk.mktfhe_parameters_toy(4) if _small()
+            else mk.mktfhe_parameters_4party(),
+            "mk4_nand_throughput", seed=31, batch=4096)
 
 
 def sec_mk8():
     """8-party MK NAND (reference preset src/mk_api.jl:24-34). The
     sparse-stored expanded key (~6.6 GB, nonzero blocks only) is the only
     form that fits a 16 GB chip."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    import tfhe_tpu as tt
     import tfhe_tpu.mk as mk
 
-    small = _small()
-    pmk8 = (mk.mktfhe_parameters_toy(8) if small
-            else mk.mktfhe_parameters_8party())
-    r = jax.random.PRNGKey(51)
-    r_sh, *party_rngs8 = jax.random.split(r, 9)
-    shared8 = mk.make_shared_key(r_sh, pmk8)
-    sks8, parts8 = [], []
-    for rr in party_rngs8:
-        r_sk, r_part = jax.random.split(rr)
-        s = tt.make_secret_key(r_sk, pmk8)
-        sks8.append(s)
-        parts8.append(mk.make_cloud_key_part(r_part, s, shared8))
-    t0 = time.time()
-    mck8 = mk.make_mk_cloud_key(parts8)
-    jax.block_until_ready(mck8.bootstrap_key.limbs)
-    log(f"mk8 expansion: {time.time() - t0:.1f}s "
-        f"(sparse={mck8.bootstrap_key.sparse})")
-    del parts8
-    B8 = 4 if small else 1024
-    m8 = jnp.arange(B8) % 2 == 0
-    g1 = mk.mk_encrypt(jax.random.PRNGKey(52), sks8, m8)
-    g2 = mk.mk_encrypt(jax.random.PRNGKey(53), sks8, ~m8)
-    mknand8 = jax.jit(mk.mk_gate_nand)
-    out8 = mknand8(mck8, g1, g2); device_barrier(out8)
-    t0 = time.time()
-    out8 = mknand8(mck8, out8, g2)
-    device_barrier(out8)
-    dt = time.time() - t0
-    dec8 = np.asarray(mk.mk_decrypt(sks8, out8))
-    want8 = ~(np.asarray(~(m8 & ~m8)) & np.asarray(~m8))
-    emit("mk8_nand_throughput", B8 / dt, "gates/s",
-         {"batch": B8, "errors": int((dec8 != want8).sum())})
+    _mk_run(8, mk.mktfhe_parameters_toy(8) if _small()
+            else mk.mktfhe_parameters_8party(),
+            "mk8_nand_throughput", seed=51, batch=1024)
 
 
 SECTIONS = {
@@ -567,21 +519,38 @@ def main():
             SECTIONS[name.strip()]()
         return
     # orchestrator mode: one subprocess per section = one fresh TPU client,
-    # full HBM for every section, failures isolated to artifact lines
+    # full HBM for every section, failures isolated to artifact lines.
+    # Per-section timeout: a tunnel outage can hang a fresh interpreter at
+    # startup (CLAUDE.md; the axon register() runs from sitecustomize before
+    # any user code), and mk8's remote compile alone runs ~40 min — without
+    # a bound the whole suite would wedge with no artifact line.
+    timeout_s = int(os.environ.get("TFHE_SUITE_SECTION_TIMEOUT_S", "5400"))
+    failed = []
     for name in SECTIONS:
         t0 = time.time()
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env={**os.environ, "TFHE_SUITE_SECTIONS": name},
-            stdout=subprocess.PIPE, text=True,
-        )
-        sys.stdout.write(r.stdout)
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "TFHE_SUITE_SECTIONS": name},
+                stdout=subprocess.PIPE, text=True, timeout=timeout_s,
+            )
+            out, code = r.stdout, r.returncode
+        except subprocess.TimeoutExpired as e:
+            out = (e.stdout or b"").decode() if isinstance(
+                e.stdout, bytes) else (e.stdout or "")
+            code = f"timeout>{timeout_s}s"
+        sys.stdout.write(out)
         sys.stdout.flush()
-        log(f"[suite] section {name}: exit={r.returncode} "
+        log(f"[suite] section {name}: exit={code} "
             f"({time.time() - t0:.0f}s)")
-        if r.returncode != 0:
-            emit(f"section_{name}", -1, "failed",
-                 {"exit_code": r.returncode})
+        if code != 0:
+            failed.append(name)
+            emit(f"section_{name}", -1, "failed", {"exit_code": str(code)})
+    if failed:
+        # partial artifacts were emitted above, but the suite as a whole
+        # must not look green to `bench_suite.py && publish` automation
+        log(f"[suite] FAILED sections: {', '.join(failed)}")
+        sys.exit(1)
 
 
 if __name__ == "__main__":

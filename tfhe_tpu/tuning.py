@@ -61,7 +61,12 @@ class TuningConfig:
     btc: int = 256              # compact megakernel per-cell batch tile
     bs_group_mb: int = 36       # compact megakernel resident-acc VMEM budget
                                 # (MB); rows per group = budget / (k1*N*4).
-                                # The in-kernel expansion re-runs per group
+                                # The in-kernel expansion re-runs per group.
+                                # Like every kernel knob here, read at TRACE
+                                # time: overriding after a jitted gate has
+                                # compiled is silently ignored (module
+                                # CAVEAT — sweep via fresh closures or env
+                                # in a fresh process)
     bta: int = 256              # two-kernel path: rotate tile
     btb: int = 256              # two-kernel path: matmul tile
     eslots: int = 3             # serial megakernel E-fetch ring slots

@@ -27,6 +27,10 @@ from tfhe_tpu.utils.sync import device_barrier, prime_sync
 prime_sync()
 preset = os.environ.get("TFHE_TPU_CC_PRESET", "128fast")
 params = {"128fast": tt.tfhe_parameters_128_fast,
+          # the one compact-ONLY preset: exercises the M=1 depth-0
+          # single-leaf kernel path (strided-roll expansion with no
+          # Karatsuba recombine), which interpret mode cannot validate
+          "128fast8": tt.tfhe_parameters_128_fast8,
           "80": tt.tfhe_parameters_80,
           "128": tt.tfhe_parameters_128}[preset]()
 
