@@ -94,11 +94,11 @@ class TuningConfig:
                                 # r5 vs 28 MB: mk2-lownoise 2,096 -> 2,281
                                 # (+8.8%), mk4 681 -> 755 (+10.8%), at the
                                 # cost of a longer Mosaic compile (mk4:
-                                # ~28 min first call). The curve still
-                                # rises at 2 parties (80 MB: 2,361, +3.7%,
-                                # ~10 min compile); 80 MB at 4/8 parties
-                                # is untested against the ~100 MB scoped
-                                # VMEM limit
+                                # ~28 min first call). 80 MB: mk2 2,361
+                                # (+3.7%) but mk4 only 762 (+1.1%) — the
+                                # bigger per-row buffers at 4+ parties make
+                                # 56 near-optimal there; 80 at 8 parties is
+                                # untested against the ~100 MB scoped limit
     mk_progressive: bool = True  # triangular MK rotation: skip the blocks of
                                  # parties not yet processed (their acc
                                  # components are structurally zero) —
